@@ -1,0 +1,254 @@
+"""URDF parser producing a :class:`RobotTopology`.
+
+Replaces the reference's external ``URDFParser`` dependency
+(``/root/reference/README.md:8-13``). Behavioral choices match the reference's
+robot object:
+
+* movable joints get contiguous ids in BFS order from the root, so
+  ``parent_id < jid`` always holds and BFS levels are contiguous;
+* fixed joints are lumped: the child link's inertia is transformed into the
+  parent link frame and accumulated, while the fixed joint itself is retained
+  as a kinematic target (reference ``fixed_target_name`` support,
+  ``/root/reference/algorithms/_eepose_gradient_hessian.py:1400-1405``);
+* joint axes: an axis equal to a +unit basis vector keeps its natural S index
+  (revolute x/y/z -> S 0/1/2, prismatic -> 3/4/5); any other axis is normalized
+  by rotating the joint frame so the axis becomes +z, giving S index 2 (or 5) —
+  the same one-hot-S world the reference generator assumes
+  (``/root/reference/_test.py:522-536``);
+* ``floating_base=True`` replaces the root joint with a synthetic 6-dof
+  floating joint (quaternion-parameterized, 7 q / 6 qd), mirroring
+  ``robot.floating_base`` in the reference.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .robot import (
+    FixedJoint,
+    Joint,
+    PRISMATIC_AXIS_TO_S,
+    REVOLUTE_AXIS_TO_S,
+    RobotTopology,
+    rpy_to_R,
+    skew,
+    spatial_inertia,
+    xform_from_E_p,
+    xform_hom_from_R_p,
+)
+
+
+def _parse_floats(s: Optional[str], default, k: int) -> np.ndarray:
+    if s is None:
+        return np.array(default, dtype=np.float64)
+    v = np.array([float(x) for x in s.split()], dtype=np.float64)
+    assert v.shape == (k,), s
+    return v
+
+
+def _parse_origin(elem) -> (np.ndarray, np.ndarray):
+    o = elem.find("origin") if elem is not None else None
+    if o is None:
+        return np.eye(3), np.zeros(3)
+    xyz = _parse_floats(o.get("xyz"), [0, 0, 0], 3)
+    rpy = _parse_floats(o.get("rpy"), [0, 0, 0], 3)
+    return rpy_to_R(rpy), xyz
+
+
+def _parse_inertial(link_elem):
+    """Return (mass, com_xyz, I_com_in_link_frame) for a <link>."""
+    inertial = link_elem.find("inertial")
+    if inertial is None:
+        return 0.0, np.zeros(3), np.zeros((3, 3))
+    mass_e = inertial.find("mass")
+    mass = float(mass_e.get("value")) if mass_e is not None else 0.0
+    R0, p0 = _parse_origin(inertial)
+    ie = inertial.find("inertia")
+    if ie is None:
+        I = np.zeros((3, 3))
+    else:
+        ixx = float(ie.get("ixx", 0)); iyy = float(ie.get("iyy", 0))
+        izz = float(ie.get("izz", 0)); ixy = float(ie.get("ixy", 0))
+        ixz = float(ie.get("ixz", 0)); iyz = float(ie.get("iyz", 0))
+        I = np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]])
+    # rotate the com-frame inertia into link-frame axes
+    return mass, p0, R0 @ I @ R0.T
+
+
+def _axis_to_frame(axis: np.ndarray):
+    """Map a unit joint axis to (extra_rotation_R, basis_axis_index).
+
+    If the axis is already a +unit basis vector, no extra rotation is needed.
+    Otherwise return R_extra rotating joint-frame vectors so that
+    R_extra^T @ axis = +z (the joint then moves about local z).
+    """
+    n = np.linalg.norm(axis)
+    assert n > 0, "zero joint axis"
+    a = axis / n
+    for k in range(3):
+        e = np.zeros(3); e[k] = 1.0
+        if np.allclose(a, e, atol=1e-12):
+            return np.eye(3), k
+    # build R_extra with third column = a (so R_extra maps local z -> axis)
+    z = a
+    ref = np.array([1.0, 0.0, 0.0]) if abs(z[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    x = np.cross(ref, z); x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z], axis=1), 2
+
+
+def _merge_inertia(I_parent6, T_child_in_parent, I_child6):
+    """Accumulate a child spatial inertia expressed via homogeneous T into parent.
+
+    Uses I_parent += X^T I_child X with X the motion transform parent->child
+    built from T (R = T[:3,:3] maps child vecs to parent; p = T[:3,3])."""
+    R = T_child_in_parent[:3, :3]
+    p = T_child_in_parent[:3, 3]
+    X = xform_from_E_p(R.T, p)  # parent -> child motion coords
+    return I_parent6 + X.T @ I_child6 @ X
+
+
+def parse_urdf(
+    source: str,
+    floating_base: bool = False,
+    name: Optional[str] = None,
+) -> RobotTopology:
+    """Parse a URDF file path or XML string into a RobotTopology."""
+    if "<robot" in source:
+        root = ET.fromstring(source)
+    else:
+        root = ET.parse(source).getroot()
+    robot_name = name or root.get("name", "robot")
+
+    links = {l.get("name"): l for l in root.findall("link")}
+    joints = [j for j in root.findall("joint")]
+
+    child_of: Dict[str, List] = {}
+    parent_link_of: Dict[str, str] = {}
+    for j in joints:
+        pl = j.find("parent").get("link")
+        cl = j.find("child").get("link")
+        child_of.setdefault(pl, []).append(j)
+        parent_link_of[cl] = pl
+
+    # root link: a link that is never a child
+    roots = [ln for ln in links if ln not in parent_link_of]
+    assert len(roots) == 1, f"expected one root link, got {roots}"
+    root_link = roots[0]
+
+    # -- BFS over movable joints, lumping fixed subchains -------------------
+    # state per discovered movable-frame: (link_name, parent_jid,
+    #   T_accum: fixed transform from this link's frame to the parent movable frame)
+    movable: List[Joint] = []
+    fixed: List[FixedJoint] = []
+    Imats: List[np.ndarray] = []
+    base_inertia = np.zeros((6, 6))
+
+    m0, c0, I0 = _parse_inertial(links[root_link])
+    base_inertia = spatial_inertia(m0, c0, I0)
+
+    # queue entries: (link_name, parent_jid, T_link_in_parent_frame or None-for-identity)
+    from collections import deque
+    queue = deque()
+    queue.append((root_link, -1, np.eye(4)))
+    # while processing, fixed-lumped inertia goes into the *parent movable* link;
+    # for children of the base it goes into base_inertia.
+
+    def add_lumped_inertia(parent_jid, T, link_elem):
+        nonlocal base_inertia
+        m, c, I = _parse_inertial(link_elem)
+        I6 = spatial_inertia(m, c, I)
+        if parent_jid == -1:
+            base_inertia = _merge_inertia(base_inertia, T, I6)
+        else:
+            Imats[parent_jid] = _merge_inertia(Imats[parent_jid], T, I6)
+
+    while queue:
+        link_name, parent_jid, T_accum = queue.popleft()
+        for j in sorted(child_of.get(link_name, []), key=lambda e: e.get("name")):
+            jtype = j.get("type")
+            jname = j.get("name")
+            cl = j.find("child").get("link")
+            Rj, pj = _parse_origin(j)
+            T_origin = xform_hom_from_R_p(Rj, pj)
+            if jtype == "fixed":
+                T_child = T_accum @ T_origin
+                fixed.append(FixedJoint(
+                    name=jname, fid=len(fixed), parent_jid=parent_jid,
+                    Ttree=T_child.copy(), parent_link=link_name, child_link=cl))
+                add_lumped_inertia(parent_jid, T_child, links[cl])
+                queue.append((cl, parent_jid, T_child))
+                continue
+            if jtype in ("revolute", "continuous", "prismatic"):
+                axis = _parse_floats(
+                    j.find("axis").get("xyz") if j.find("axis") is not None else None,
+                    [1, 0, 0], 3)
+                R_extra, ax_ind = _axis_to_frame(axis)
+                kind = "prismatic" if jtype == "prismatic" else "revolute"
+                S_ind = (PRISMATIC_AXIS_TO_S if kind == "prismatic"
+                         else REVOLUTE_AXIS_TO_S)[ax_ind]
+                # fold the axis normalization into the tree transform
+                R_total = T_accum[:3, :3] @ Rj @ R_extra
+                p_total = T_accum[:3, :3] @ pj + T_accum[:3, 3]
+                Xtree = xform_from_E_p(R_total.T, p_total)
+                Ttree = xform_hom_from_R_p(R_total, p_total)
+                dyn = j.find("dynamics")
+                damping = float(dyn.get("damping", 0.0)) if dyn is not None else 0.0
+                lim = j.find("limit")
+                lo = float(lim.get("lower", -np.inf)) if lim is not None else -np.inf
+                hi = float(lim.get("upper", np.inf)) if lim is not None else np.inf
+                if jtype == "continuous":
+                    lo, hi = -np.inf, np.inf
+                jid = len(movable)
+                movable.append(Joint(
+                    name=jname, jid=jid, parent_id=parent_jid, jtype=kind,
+                    S_ind=S_ind, Xtree=Xtree, Ttree=Ttree, damping=damping,
+                    limit_lower=lo, limit_upper=hi,
+                    parent_link=link_name, child_link=cl))
+                m, c, I = _parse_inertial(links[cl])
+                Imats.append(spatial_inertia(m, c, I))
+                queue.append((cl, jid, np.eye(4)))
+                continue
+            raise ValueError(f"unsupported joint type {jtype!r} ({jname})")
+
+    topo = RobotTopology(
+        name=robot_name, joints=movable, Imats=Imats,
+        base_inertia=base_inertia, fixed_joints=fixed,
+        floating_base=False)
+
+    if floating_base:
+        topo = make_floating_base(topo)
+    return topo
+
+
+def make_floating_base(topo: RobotTopology) -> RobotTopology:
+    """Insert a synthetic floating joint (id 0) under the base.
+
+    The base link's lumped inertia becomes the inertia of the new floating
+    body; all former root joints reparent to it. q layout:
+    ``[x, y, z, qx, qy, qz, qw, q_1, ...]``; qd layout: ``[w(3); v(3), qd_1, ...]``.
+    """
+    n = topo.get_num_joints()
+    fl = Joint(
+        name="floating_base", jid=0, parent_id=-1, jtype="floating",
+        S_ind=-1, Xtree=np.eye(6), Ttree=np.eye(4),
+        parent_link="world", child_link="base")
+    joints = [fl]
+    for j in topo.joints:
+        joints.append(Joint(
+            name=j.name, jid=j.jid + 1,
+            parent_id=j.parent_id + 1,   # -1 -> 0 (the floating body)
+            jtype=j.jtype, S_ind=j.S_ind, Xtree=j.Xtree.copy(),
+            Ttree=j.Ttree.copy(), damping=j.damping,
+            limit_lower=j.limit_lower, limit_upper=j.limit_upper,
+            parent_link=j.parent_link, child_link=j.child_link))
+    Imats = [topo.get_Imats_ordered_by_id()[0]] + [
+        topo.get_Imat_by_id(i) for i in range(n)]
+    fixed = [FixedJoint(f.name, f.fid, f.parent_jid + 1, f.Ttree.copy(),
+                        f.parent_link, f.child_link) for f in topo.fixed_joints]
+    return RobotTopology(
+        name=topo.name + "_floating", joints=joints, Imats=Imats,
+        base_inertia=np.zeros((6, 6)), fixed_joints=fixed, floating_base=True)
