@@ -1,0 +1,101 @@
+"""Batched joint transform construction: X_i(q_i) for all joints, (n, 6, 6, B).
+
+TPU analog of the reference's ``load_update_XImats_helpers``
+(``/root/reference/helpers/_topology_helpers.py:155-331``): where the reference
+bakes the constant entries of sympy X(q) matrices and rewrites only the
+sin/cos-dependent ones per knot, here each joint's ``X = X_joint(q) @ X_tree``
+is expressed so XLA constant-folds the fixed part and fuses the trig rewrite
+across the batch lanes. sin/cos are evaluated once per joint per knot — the
+same economy as the reference's ``s_temp`` sin/cos scratch
+(``_topology_helpers.py:120-122``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax.numpy as jnp
+
+from ..models.model import RobotModel
+
+
+def _rot_E(axis: int, c, s):
+    """Coordinate-rotation E = R_axis(q)^T as a (3, 3, B) stack."""
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    if axis == 0:
+        rows = [[o, z, z], [z, c, s], [z, -s, c]]
+    elif axis == 1:
+        rows = [[c, z, -s], [z, o, z], [s, z, c]]
+    else:
+        rows = [[c, s, z], [-s, c, z], [z, z, o]]
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
+def joint_xmat(model: RobotModel, i: int, qi) -> jnp.ndarray:
+    """X_i(q_i) for one joint: qi (B,) -> (6, 6, B)."""
+    XT = model.Xtree[i]  # (6, 6) constant
+    if model.jtype[i] == "revolute":
+        c, s = jnp.cos(qi), jnp.sin(qi)
+        E = _rot_E(model.S_ind[i] % 3, c, s)      # (3,3,B)
+        top = jnp.einsum("ikb,kj->ijb", E, XT[:3, :])   # (3,6,B)
+        bot = jnp.einsum("ikb,kj->ijb", E, XT[3:, :])
+        return jnp.concatenate([top, bot], axis=0)
+    if model.jtype[i] == "prismatic":
+        # X = [[I,0],[-skew(q e_k), I]] @ XT
+        k = model.S_ind[i] - 3
+        z = jnp.zeros_like(qi)
+        sk_rows = {
+            0: [[z, z, z], [z, z, -qi], [z, qi, z]],
+            1: [[z, z, qi], [z, z, z], [-qi, z, z]],
+            2: [[z, -qi, z], [qi, z, z], [z, z, z]],
+        }[k]
+        sk = jnp.stack([jnp.stack(r) for r in sk_rows])  # (3,3,B)
+        top = jnp.broadcast_to(XT[:3, :, None], (3, 6, qi.shape[0]))
+        bot = XT[3:, :, None] - jnp.einsum("ikb,kj->ijb", sk, XT[:3, :])
+        return jnp.concatenate([top, bot], axis=0)
+    raise NotImplementedError(model.jtype[i])
+
+
+def floating_xmat(q7) -> jnp.ndarray:
+    """Floating joint X from q = [x,y,z,qx,qy,qz,qw] (7, B) -> (6, 6, B)."""
+    p = q7[:3]
+    x, y, z, w = q7[3], q7[4], q7[5], q7[6]
+    nrm = jnp.sqrt(x * x + y * y + z * z + w * w)
+    x, y, z, w = x / nrm, y / nrm, z / nrm, w / nrm
+    # R rotates child-frame vectors into the parent frame; E = R^T
+    R = jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)]),
+        jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)]),
+        jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)]),
+    ])  # (3,3,B)
+    E = jnp.swapaxes(R, 0, 1)
+    zz = jnp.zeros_like(p[0])
+    sk = jnp.stack([
+        jnp.stack([zz, -p[2], p[1]]),
+        jnp.stack([p[2], zz, -p[0]]),
+        jnp.stack([-p[1], p[0], zz]),
+    ])
+    bl = -jnp.einsum("ikb,kjb->ijb", E, sk)
+    z36 = jnp.zeros_like(bl)
+    top = jnp.concatenate([E, z36], axis=1)
+    bot = jnp.concatenate([bl, E], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def all_xmats(model: RobotModel, q) -> List[jnp.ndarray]:
+    """Per-joint X(q) list; q is (num_pos, B).
+
+    Returns a Python list (static length n) of (6, 6, B) arrays — joints stay
+    unrolled at trace time, mirroring the reference's per-joint emission.
+    """
+    xs = []
+    off = 0
+    for i in range(model.n):
+        if model.jtype[i] == "floating":
+            xs.append(floating_xmat(q[off:off + 7]))
+            off += 7
+        else:
+            xs.append(joint_xmat(model, i, q[off]))
+            off += 1
+    return xs

@@ -1,15 +1,22 @@
-"""Test configuration: force an 8-device virtual CPU mesh.
+"""Test configuration: force CPU with an 8-device virtual mesh.
 
 Multi-chip TPU hardware is unavailable in CI, so sharding/collective tests run
 against XLA's host-platform device virtualization; the kernels themselves are
-platform-agnostic (same code path compiles for TPU).
+platform-agnostic (same code path compiles for TPU). The axon sitecustomize
+registers a remote-TPU backend that overrides JAX_PLATFORMS, so the platform
+must also be forced through jax.config after import.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "true")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
