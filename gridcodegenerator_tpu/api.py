@@ -1,0 +1,288 @@
+"""Public API: per-robot compiled dynamics suite.
+
+This layer is the TPU-native analog of the reference's *generated* runtime API
+(``/root/reference/README.md:24-29``, ``GRiDCodeGenerator.py:309-437``). The
+reference emits a ``grid.cuh`` with four tiers per algorithm
+(``_inner`` / ``_device`` / ``_kernel`` / host); here the tiers are:
+
+* **inner**  — the traced builders in ``gridcodegenerator_tpu.ops.*``
+  (pure functions on lane-major ``(dim, B)`` arrays, composable and
+  differentiable — the ``_inner``/``_device`` analog);
+* **kernel** — jit-compiled, per-robot-specialized batched callables cached on
+  this class (the ``_kernel`` analog; compilation at first call replaces
+  CUDA codegen + nvcc);
+* **host**   — the methods below: accept/return batch-major ``(B, dim)`` (or
+  unbatched ``(dim,)``) numpy/JAX arrays, handle layout, dtype, and packed
+  ``q_qd_u`` inputs (the host-wrapper analog of ``inverse_dynamics<T>(...)``
+  + ``gridData`` packing, ``GRiDCodeGenerator.py:120-213``).
+
+Example::
+
+    from gridcodegenerator_tpu import GRiD
+    grid = GRiD("iiwa")                       # or GRiD(urdf_path/xml/topology)
+    c     = grid.id(q, qd, qdd)               # RNEA         (B, n)
+    Minv  = grid.minv(q)                      # (B, n, n)
+    qdd   = grid.fd(q, qd, u)                 # Minv route
+    qdd   = grid.aba(q, qd, u)                # ABA route
+    M     = grid.crba(q)
+    dc_du = grid.id_du(q, qd, qdd)            # (B, n, 2n)
+    df_du = grid.fd_du(q, qd, u)              # (B, n, 2n)
+    so    = grid.idsva_so(q, qd, qdd)         # (B, 4, n, n, n)
+    pose  = grid.eepos(q)                     # (B, 6*num_ees)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.model import RobotModel, build_model
+from .models.zoo import list_robots, load_robot
+from .ops import aba as _aba
+from .ops import crba as _crba
+from .ops import eepose as _eepose
+from .ops import fd as _fd
+from .ops import fd_grad as _fd_grad
+from .ops import id_grad as _id_grad
+from .ops import minv as _minv
+from .ops import rnea as _rnea
+from .ops import so as _so
+from .ops.common import DEFAULT_GRAVITY
+from .topology.robot import RobotTopology
+from .topology.urdf import parse_urdf
+
+
+def init_robot(source: Union[str, RobotTopology],
+               floating_base: bool = False) -> RobotTopology:
+    """Load a robot: zoo name, URDF path, or URDF XML string.
+
+    The ``init_robotModel`` analog (``/root/reference/helpers/
+    _topology_helpers.py:715-730``) — everything device-side is then baked by
+    :class:`GRiD` / :func:`build_model`.
+    """
+    if isinstance(source, RobotTopology):
+        return source
+    if "<robot" in source:
+        return parse_urdf(source, floating_base=floating_base)
+    if source.replace("_floating", "") in [
+            n.replace("_floating", "") for n in list_robots()]:
+        return load_robot(source + ("_floating" if floating_base
+                                    and not source.endswith("_floating")
+                                    else ""))
+    return parse_urdf(source, floating_base=floating_base)
+
+
+class GRiD:
+    """Per-robot compiled dynamics suite (the generated-header analog)."""
+
+    def __init__(
+        self,
+        robot: Union[str, RobotTopology],
+        dtype=jnp.float32,
+        gravity: float = DEFAULT_GRAVITY,
+        floating_base: bool = False,
+    ):
+        self.topology = init_robot(robot, floating_base=floating_base)
+        self.model: RobotModel = build_model(self.topology, dtype=dtype)
+        self.dtype = dtype
+        self.gravity = float(gravity)
+        self.n = self.model.n
+        self.num_pos = self.model.num_pos
+        self.num_vel = self.model.num_vel
+        self.num_ees = _eepose.num_ees(self.model)
+
+    # ------------------------------------------------------------------
+    # layout shims: user (B, dim) <-> kernel (dim, B)
+    # ------------------------------------------------------------------
+    def _in(self, x, dim):
+        x = jnp.asarray(x, self.dtype)
+        if x.ndim == 1:
+            assert x.shape[0] == dim, (x.shape, dim)
+            return x[:, None], True
+        assert x.shape[-1] == dim, (x.shape, dim)
+        return x.T, False
+
+    @staticmethod
+    def _out(x, unbatched):
+        # kernel output (..., B) -> user (B, ...) or unbatched (...)
+        x = jnp.moveaxis(x, -1, 0)
+        return x[0] if unbatched else x
+
+    # ------------------------------------------------------------------
+    # jitted kernel tier (cached per algorithm)
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _id(self):
+        return jax.jit(lambda q, qd, qdd: _rnea.rnea(
+            self.model, q, qd, qdd, self.gravity))
+
+    @functools.cached_property
+    def _id_nq(self):
+        return jax.jit(lambda q, qd: _rnea.rnea(
+            self.model, q, qd, None, self.gravity))
+
+    @functools.cached_property
+    def _minv(self):
+        return jax.jit(lambda q: _minv.minv(self.model, q, True))
+
+    @functools.cached_property
+    def _minv_upper(self):
+        return jax.jit(lambda q: _minv.minv(self.model, q, False))
+
+    @functools.cached_property
+    def _fd(self):
+        return jax.jit(lambda q, qd, u: _fd.forward_dynamics(
+            self.model, q, qd, u, self.gravity))
+
+    @functools.cached_property
+    def _aba(self):
+        return jax.jit(lambda q, qd, u: _aba.aba(
+            self.model, q, qd, u, self.gravity))
+
+    @functools.cached_property
+    def _crba(self):
+        return jax.jit(lambda q: _crba.crba(self.model, q))
+
+    @functools.cached_property
+    def _id_du(self):
+        return jax.jit(lambda q, qd, qdd: _id_grad.id_grad(
+            self.model, q, qd, qdd, self.gravity))
+
+    @functools.cached_property
+    def _fd_du(self):
+        return jax.jit(lambda q, qd, u: _fd_grad.fd_grad(
+            self.model, q, qd, u, self.gravity))
+
+    @functools.cached_property
+    def _idsva_so(self):
+        return jax.jit(lambda q, qd, qdd: _so.idsva_so(
+            self.model, q, qd, qdd, self.gravity))
+
+    @functools.cached_property
+    def _fdsva_so(self):
+        return jax.jit(lambda q, qd, u: _so.fdsva_so(
+            self.model, q, qd, u, self.gravity))
+
+    @functools.cached_property
+    def _eepos(self):
+        return jax.jit(lambda q: _eepose.eepos(self.model, q))
+
+    @functools.cached_property
+    def _deepos(self):
+        return jax.jit(lambda q: _eepose.deepos(self.model, q))
+
+    @functools.cached_property
+    def _d2eepos(self):
+        return jax.jit(lambda q: _eepose.d2eepos(self.model, q))
+
+    # ------------------------------------------------------------------
+    # host tier
+    # ------------------------------------------------------------------
+    def id(self, q, qd, qdd=None):
+        """RNEA inverse dynamics c(q, qd[, qdd]): (B, nv)."""
+        qk, ub = self._in(q, self.num_pos)
+        qdk, _ = self._in(qd, self.num_vel)
+        if qdd is None:
+            return self._out(self._id_nq(qk, qdk), ub)
+        qddk, _ = self._in(qdd, self.num_vel)
+        return self._out(self._id(qk, qdk, qddk), ub)
+
+    def minv(self, q, dense: bool = True):
+        """M(q)^-1: (B, nv, nv); ``dense=False`` gives the upper factor."""
+        qk, ub = self._in(q, self.num_pos)
+        fn = self._minv if dense else self._minv_upper
+        return self._out(fn(qk), ub)
+
+    def fd(self, q, qd, u):
+        """Forward dynamics qdd via the Minv route: (B, nv)."""
+        qk, ub = self._in(q, self.num_pos)
+        qdk, _ = self._in(qd, self.num_vel)
+        uk, _ = self._in(u, self.num_vel)
+        return self._out(self._fd(qk, qdk, uk), ub)
+
+    def aba(self, q, qd, u):
+        """Forward dynamics qdd via the articulated-body algorithm: (B, nv)."""
+        qk, ub = self._in(q, self.num_pos)
+        qdk, _ = self._in(qd, self.num_vel)
+        uk, _ = self._in(u, self.num_vel)
+        return self._out(self._aba(qk, qdk, uk), ub)
+
+    def crba(self, q):
+        """Mass matrix M(q): (B, nv, nv)."""
+        qk, ub = self._in(q, self.num_pos)
+        return self._out(self._crba(qk), ub)
+
+    def id_du(self, q, qd, qdd=None):
+        """Analytical dc/d[q|qd]: (B, nv, 2*nv)."""
+        qk, ub = self._in(q, self.num_pos)
+        qdk, _ = self._in(qd, self.num_vel)
+        qddk = (jnp.zeros_like(qdk) if qdd is None
+                else self._in(qdd, self.num_vel)[0])
+        return self._out(self._id_du(qk, qdk, qddk), ub)
+
+    def fd_du(self, q, qd, u):
+        """Analytical dqdd/d[q|qd]: (B, nv, 2*nv). dqdd/dtau is minv(q)."""
+        qk, ub = self._in(q, self.num_pos)
+        qdk, _ = self._in(qd, self.num_vel)
+        uk, _ = self._in(u, self.num_vel)
+        return self._out(self._fd_du(qk, qdk, uk), ub)
+
+    def idsva_so(self, q, qd, qdd=None):
+        """Second-order ID tensors [d2tau/dq2, d2tau/dqd2, cross, dM/dq]:
+        (B, 4, nv, nv, nv)."""
+        qk, ub = self._in(q, self.num_pos)
+        qdk, _ = self._in(qd, self.num_vel)
+        qddk = (jnp.zeros_like(qdk) if qdd is None
+                else self._in(qdd, self.num_vel)[0])
+        return self._out(self._idsva_so(qk, qdk, qddk), ub)
+
+    def fdsva_so(self, q, qd, u):
+        """Second-order FD tensors [d2qdd/dq2, d2qdd/dqd2, cross, dMinv/dq]:
+        (B, 4, nv, nv, nv)."""
+        qk, ub = self._in(q, self.num_pos)
+        qdk, _ = self._in(qd, self.num_vel)
+        uk, _ = self._in(u, self.num_vel)
+        return self._out(self._fdsva_so(qk, qdk, uk), ub)
+
+    def eepos(self, q):
+        """End-effector poses [xyz, rpy] per EE: (B, 6*num_ees)."""
+        qk, ub = self._in(q, self.num_pos)
+        return self._out(self._eepos(qk), ub)
+
+    def deepos(self, q):
+        """EE pose Jacobians: (B, 6*num_ees, num_pos)."""
+        qk, ub = self._in(q, self.num_pos)
+        return self._out(self._deepos(qk), ub)
+
+    def d2eepos(self, q):
+        """EE pose Hessians: (B, 6*num_ees, num_pos, num_pos)."""
+        qk, ub = self._in(q, self.num_pos)
+        return self._out(self._d2eepos(qk), ub)
+
+    # -- packed-input convenience (gridData q_qd_u layout parity) ---------
+    def fd_du_packed(self, q_qd_u):
+        """Packed (B, num_pos + 2*num_vel) input, as the reference's
+        ``d_q_qd_u`` stride-3n buffer (``GRiDCodeGenerator.py:163-183``)."""
+        np_, nv = self.num_pos, self.num_vel
+        q = q_qd_u[..., :np_]
+        qd = q_qd_u[..., np_:np_ + nv]
+        u = q_qd_u[..., np_ + nv:]
+        return self.fd_du(q, qd, u)
+
+    def id_packed(self, q_qd_qdd):
+        np_, nv = self.num_pos, self.num_vel
+        return self.id(q_qd_qdd[..., :np_], q_qd_qdd[..., np_:np_ + nv],
+                       q_qd_qdd[..., np_ + nv:])
+
+    # ------------------------------------------------------------------
+    def joint_limits(self) -> np.ndarray:
+        return np.asarray(self.model.joint_limits)
+
+    def __repr__(self):
+        return (f"GRiD({self.model.name!r}, n={self.n}, "
+                f"dtype={jnp.dtype(self.dtype).name}, "
+                f"floating={self.model.floating_base})")

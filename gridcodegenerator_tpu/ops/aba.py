@@ -7,7 +7,8 @@ forward acceleration recovery), unrolled at trace time. The reference's
 hard-coded ``mx2_scaled`` regardless of joint axis (``_aba.py:123`` — a known
 quirk, SURVEY.md §7) is replaced by the correct per-joint S cross product.
 Joint damping enters as a bias torque so ABA is the exact inverse of RNEA
-with damped joints.
+with damped joints. 1-dof joints are einsum-free (Pallas/Mosaic-compatible);
+the floating block keeps einsum on the XLA path.
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ import jax.numpy as jnp
 from ..models.model import RobotModel
 from .common import DEFAULT_GRAVITY, S_matrix, e_vec, gravity_accel, vel_layout
 from .minv import _inv66
-from .spatial import Mv, XTMX, XTv, Xv, cross_fv, cross_mv
+from .spatial import Mv, XTMX, XTv, Xv, cross_fv, cross_mv, dot6, outer6
 from .xforms import all_xmats
 
 
@@ -29,10 +30,12 @@ def aba(
     qd: jnp.ndarray,
     u: jnp.ndarray,
     GRAVITY: float = DEFAULT_GRAVITY,
+    Xs=None,
 ) -> jnp.ndarray:
     """qdd = ABA(q, qd, u): (nv, B)."""
     n = model.n
-    Xs = all_xmats(model, q)
+    if Xs is None:
+        Xs = all_xmats(model, q)
     B = Xs[0].shape[-1]
     dtype = Xs[0].dtype
     vl = vel_layout(model)
@@ -44,40 +47,48 @@ def aba(
     pA: List[jnp.ndarray] = [None] * n
     IA = [jnp.broadcast_to(model.Imat[i][:, :, None], (6, 6, B)).astype(dtype)
           for i in range(n)]
-    vJs: List[jnp.ndarray] = [None] * n
     for lvl in model.bfs_levels:
         for i in lvl:
             off, d = vl[i]
             vJ = e_vec(model.S_ind[i], qd[off]) if d == 1 else qd[off:off + 6]
-            vJs[i] = vJ
             p = model.parent[i]
             v[i] = vJ if p == -1 else Xv(Xs[i], v[p]) + vJ
             cb[i] = cross_mv(v[i], vJ)
             pA[i] = cross_fv(v[i], Mv(model.Imat[i], v[i]))
 
     # pass 2: backward articulated reduction
-    U: List[jnp.ndarray] = [None] * n        # (6, d, B)
-    Dinv: List[jnp.ndarray] = [None] * n     # (d, d, B)
-    uu: List[jnp.ndarray] = [None] * n       # (d, B)
+    U: List[jnp.ndarray] = [None] * n
+    Dinv: List[jnp.ndarray] = [None] * n
+    uu: List[jnp.ndarray] = [None] * n
     for lvl in reversed(model.bfs_levels):
         for i in lvl:
             off, d = vl[i]
-            S = jnp.asarray(S_matrix(model, i), dtype)
-            Ui = jnp.einsum("ijb,jk->ikb", IA[i], S)
-            Di = jnp.einsum("jk,jlb->klb", S, Ui)
-            Dinv_i = (1.0 / Di) if d == 1 else _inv66(Di)
-            tau_i = (u[off:off + d]
-                     - model.damping[i] * qd[off:off + d] if d == 1
-                     else u[off:off + 6])
-            uu_i = tau_i - jnp.einsum("jk,jb->kb", S, pA[i])
-            U[i], Dinv[i], uu[i] = Ui, Dinv_i, uu_i
             p = model.parent[i]
-            if p != -1:
-                Ia = IA[i] - jnp.einsum("ikb,klb,jlb->ijb", Ui, Dinv_i, Ui)
-                pa = (pA[i] + jnp.einsum("ijb,jb->ib", Ia, cb[i])
-                      + jnp.einsum("ikb,klb,lb->ib", Ui, Dinv_i, uu_i))
-                IA[p] = IA[p] + XTMX(Xs[i], Ia)
-                pA[p] = pA[p] + XTv(Xs[i], pa)
+            if d == 1:
+                s = model.S_ind[i]
+                Ui = IA[i][:, s]                     # (6, B)
+                Dinv_i = 1.0 / Ui[s]                 # (B,)
+                tau_i = u[off] - model.damping[i] * qd[off]
+                uu_i = tau_i - pA[i][s]
+                U[i], Dinv[i], uu[i] = Ui, Dinv_i, uu_i
+                if p != -1:
+                    Ia = IA[i] - outer6(Ui * Dinv_i, Ui)
+                    pa = pA[i] + Xv(Ia, cb[i]) + Ui * (Dinv_i * uu_i)
+                    IA[p] = IA[p] + XTMX(Xs[i], Ia)
+                    pA[p] = pA[p] + XTv(Xs[i], pa)
+            else:
+                S = jnp.asarray(S_matrix(model, i), dtype)
+                Ui = jnp.einsum("ijb,jk->ikb", IA[i], S)
+                Di = jnp.einsum("jk,jlb->klb", S, Ui)
+                Dinv_i = _inv66(Di)
+                uu_i = u[off:off + 6] - jnp.einsum("jk,jb->kb", S, pA[i])
+                U[i], Dinv[i], uu[i] = Ui, Dinv_i, uu_i
+                if p != -1:
+                    Ia = IA[i] - jnp.einsum("ikb,klb,jlb->ijb", Ui, Dinv_i, Ui)
+                    pa = (pA[i] + Xv(Ia, cb[i])
+                          + jnp.einsum("ikb,klb,lb->ib", Ui, Dinv_i, uu_i))
+                    IA[p] = IA[p] + XTMX(Xs[i], Ia)
+                    pA[p] = pA[p] + XTv(Xs[i], pa)
 
     # pass 3: forward acceleration recovery
     a: List[jnp.ndarray] = [None] * n
@@ -87,9 +98,13 @@ def aba(
             off, d = vl[i]
             p = model.parent[i]
             a_p = Xv(Xs[i], g if p == -1 else a[p]) + cb[i]
-            rhs = uu[i] - jnp.einsum("ikb,ib->kb", U[i], a_p)
-            qdd_i = jnp.einsum("klb,lb->kb", Dinv[i], rhs)
-            S = jnp.asarray(S_matrix(model, i), dtype)
-            a[i] = a_p + jnp.einsum("jk,kb->jb", S, qdd_i)
-            qdd_rows[i] = qdd_i
+            if d == 1:
+                qdd_i = Dinv[i] * (uu[i] - dot6(U[i], a_p))
+                a[i] = a_p + e_vec(model.S_ind[i], qdd_i)
+                qdd_rows[i] = qdd_i[None]
+            else:
+                rhs = uu[i] - jnp.einsum("ikb,ib->kb", U[i], a_p)
+                qdd_i = jnp.einsum("klb,lb->kb", Dinv[i], rhs)
+                a[i] = a_p + qdd_i
+                qdd_rows[i] = qdd_i
     return jnp.concatenate(qdd_rows, axis=0)

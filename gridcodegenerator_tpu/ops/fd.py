@@ -17,6 +17,7 @@ from ..models.model import RobotModel
 from .common import DEFAULT_GRAVITY
 from .minv import densify, minv_factors
 from .rnea import rnea_bpass, rnea_fpass
+from .spatial import bmv
 from .xforms import all_xmats
 
 
@@ -34,7 +35,7 @@ def forward_dynamics(
     c, _ = rnea_bpass(model, Xs, qd, f)
     Mu, _ = minv_factors(model, q, Xs=Xs)
     Mi = densify(Mu)
-    qdd = jnp.einsum("ijb,jb->ib", Mi, u - c)
+    qdd = bmv(Mi, u - c)
     if return_extras:
         return qdd, c, Mi, Xs
     return qdd

@@ -19,6 +19,7 @@ from .common import DEFAULT_GRAVITY
 from .id_grad import id_grad_inner
 from .minv import densify, minv_factors
 from .rnea import rnea_bpass, rnea_fpass
+from .spatial import bmm, bmv
 from .xforms import all_xmats
 
 
@@ -40,12 +41,12 @@ def fd_grad(
     c, _ = rnea_bpass(model, Xs, qd, f0)
     Mu, _ = minv_factors(model, q, Xs=Xs)
     Mi = densify(Mu)
-    qdd = jnp.einsum("ijb,jb->ib", Mi, u - c)
+    qdd = bmv(Mi, u - c)
     # RNEA intermediates at the realized qdd, then the ID gradient
     v, a, f = rnea_fpass(model, Xs, qd, qdd, GRAVITY)
     _, f_acc = rnea_bpass(model, Xs, qd, f)
     dc_du = id_grad_inner(model, Xs, qd, v, a, f_acc, GRAVITY)
-    df_du = -jnp.einsum("ijb,jcb->icb", Mi, dc_du)
+    df_du = -bmm(Mi, dc_du)
     if return_extras:
         return df_du, qdd, Mi
     return df_du

@@ -33,22 +33,10 @@ import jax.numpy as jnp
 from ..models.model import RobotModel
 from .common import DEFAULT_GRAVITY, gravity_accel
 from .rnea import rnea_bpass, rnea_fpass
-from .spatial import Mv, Xv, XTv, cross_fv, cross_mv, crfS_f, mxS
+from .spatial import (Mcols as _Mcols, Mv, Xcols as _Xcols,
+                      XTcols as _XTcols, XTv, Xv, cross_fv, cross_mv,
+                      crfS_f, mxS)
 from .xforms import all_xmats
-
-
-def _Xcols(X, D):
-    """Apply (6,6,B) X to every column of a (6,C,B) block."""
-    return jnp.einsum("ijb,jcb->icb", X, D)
-
-
-def _XTcols(X, D):
-    return jnp.einsum("jib,jcb->icb", X, D)
-
-
-def _Mcols(M, D):
-    """Constant (6,6) inertia times every column of (6,C,B)."""
-    return jnp.einsum("ij,jcb->icb", M, D)
 
 
 def id_grad_inner(

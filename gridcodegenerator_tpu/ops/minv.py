@@ -10,9 +10,12 @@ TPU design choices (SURVEY.md §7 hard-parts 1-2):
   * subtree column updates use static 0/1 masks over dense (nv,) columns
     instead of compressed ranges — dense+masked is lane-friendly and avoids
     gathers; VMEM/HBM headroom is ample for nv <= ~40;
-  * the floating-base 6x6 D block is inverted with a batched closed-form
-    solve (the reference calls its Gauss-Jordan ``invert_matrix``,
-    ``_direct_minv.py:104-122``).
+  * all contractions on the 1-dof path are one-hot column selects and
+    unrolled elementwise sums (no dot_general) so the identical trace also
+    lowers inside Pallas kernels via Mosaic;
+  * the floating-base 6x6 D block is inverted with a batched linalg solve
+    (the reference calls its Gauss-Jordan ``invert_matrix``,
+    ``_direct_minv.py:104-122``) — floating robots take the XLA path.
 
 Output is the dense symmetric matrix by default; ``dense=False`` returns the
 upper-triangular factor exactly as the reference's SYMMETRIC_UPPER layout.
@@ -26,8 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.model import RobotModel
-from .common import DEFAULT_GRAVITY, S_matrix, vel_layout
-from .spatial import XTMX
+from .common import S_matrix, vel_layout
+from .spatial import XTMX, XTcols, Xcols, XTv, outer6
 from .xforms import all_xmats
 
 
@@ -56,12 +59,12 @@ def minv_factors(model: RobotModel, q: jnp.ndarray, Xs=None):
         for j in model.subtree[i]:
             off, d = vl[j]
             m[off:off + d] = 1.0
-        sub_mask.append(jnp.asarray(m, dtype)[:, None])  # (nv, 1)
+        sub_mask.append(jnp.asarray(m, dtype))  # (nv,)
 
     Minv = jnp.zeros((nv, nv, B), dtype)
     F: List[Optional[jnp.ndarray]] = [None] * n  # per joint (6, nv, B)
-    U: List[Optional[jnp.ndarray]] = [None] * n  # (6, d, B)
-    Dinv: List[Optional[jnp.ndarray]] = [None] * n  # (d, d, B)
+    U: List[Optional[jnp.ndarray]] = [None] * n
+    Dinv: List[Optional[jnp.ndarray]] = [None] * n
     IA = [jnp.broadcast_to(model.Imat[i][:, :, None], (6, 6, B)).astype(dtype)
           for i in range(n)]
 
@@ -72,59 +75,92 @@ def minv_factors(model: RobotModel, q: jnp.ndarray, Xs=None):
     for lvl in reversed(model.bfs_levels):
         for i in lvl:
             off, d = vl[i]
-            S = jnp.asarray(S_matrix(model, i), dtype)        # (6, d)
-            Ui = jnp.einsum("ijb,jk->ikb", IA[i], S)          # (6, d, B)
-            Di = jnp.einsum("jk,jlb->klb", S, Ui)             # (d, d, B)
-            Dinv_i = (1.0 / Di) if d == 1 else _inv66(Di)
-            U[i], Dinv[i] = Ui, Dinv_i
+            p = model.parent[i]
             if F[i] is None:
                 F[i] = zeros_F()
-            # Minv rows of joint i: Dinv on the diagonal block, then the
-            # subtree correction -Dinv S^T F_i (masked dense columns)
-            SF = jnp.einsum("jk,jcb->kcb", S, F[i])           # (d, nv, B)
-            rows = -jnp.einsum("klb,lcb->kcb", Dinv_i, SF)    # (d, nv, B)
-            rows = rows * sub_mask[i][None, :, 0:1]  # zero outside subtree
-            rows = rows.at[:, off:off + d].add(Dinv_i)
-            Minv = Minv.at[off:off + d].add(rows)
-            p = model.parent[i]
-            if p != -1:
-                Fi = F[i] + jnp.einsum(
-                    "ikb,kcb->icb", Ui, Minv[off:off + d]) * sub_mask[i][None]
-                F[i] = Fi
-                if F[p] is None:
-                    F[p] = zeros_F()
-                F[p] = F[p] + jnp.einsum("jib,jcb->icb", Xs[i], Fi)
-                UDUt = jnp.einsum("ikb,klb,jlb->ijb", Ui, Dinv_i, Ui)
-                IA[p] = IA[p] + XTMX(Xs[i], IA[i] - UDUt)
+            if d == 1:
+                s = model.S_ind[i]
+                Ui = IA[i][:, s]                      # (6, B)
+                Dinv_i = 1.0 / Ui[s]                  # (B,)
+                U[i], Dinv[i] = Ui, Dinv_i
+                row = -Dinv_i * F[i][s] * sub_mask[i][:, None]  # (nv, B)
+                row = row.at[off].add(Dinv_i)
+                Minv = Minv.at[off].add(row)
+                if p != -1:
+                    Fi = F[i] + (Ui[:, None] * Minv[off][None]
+                                 * sub_mask[i][None, :, None])
+                    F[i] = Fi
+                    if F[p] is None:
+                        F[p] = zeros_F()
+                    F[p] = F[p] + XTcols(Xs[i], Fi)
+                    Ia = IA[i] - outer6(Ui * Dinv_i, Ui)
+                    IA[p] = IA[p] + XTMX(Xs[i], Ia)
+            else:  # floating 6-dof block (XLA path)
+                S = jnp.asarray(S_matrix(model, i), dtype)
+                Ui = jnp.einsum("ijb,jk->ikb", IA[i], S)
+                Di = jnp.einsum("jk,jlb->klb", S, Ui)
+                Dinv_i = _inv66(Di)
+                U[i], Dinv[i] = Ui, Dinv_i
+                SF = jnp.einsum("jk,jcb->kcb", S, F[i])
+                rows = -jnp.einsum("klb,lcb->kcb", Dinv_i, SF)
+                rows = rows * sub_mask[i][None, :, None]
+                rows = rows.at[:, off:off + d].add(Dinv_i)
+                Minv = Minv.at[off:off + d].add(rows)
+                if p != -1:
+                    Fi = F[i] + jnp.einsum(
+                        "ikb,kcb->icb", Ui,
+                        Minv[off:off + d]) * sub_mask[i][None, :, None]
+                    F[i] = Fi
+                    if F[p] is None:
+                        F[p] = zeros_F()
+                    F[p] = F[p] + XTcols(Xs[i], Fi)
+                    UDUt = jnp.einsum("ikb,klb,jlb->ijb", Ui, Dinv_i, Ui)
+                    IA[p] = IA[p] + XTMX(Xs[i], IA[i] - UDUt)
 
     # ---- forward pass (serial over joints, static growing slices) --------
     for i in range(n):
         off, d = vl[i]
-        S = jnp.asarray(S_matrix(model, i), dtype)
         p = model.parent[i]
         cols = slice(off, nv)
-        if p != -1:
-            UX = jnp.einsum("ikb,ijb->kjb", U[i], Xs[i])      # (d, 6, B)
-            corr = jnp.einsum("klb,ljb,jcb->kcb",
-                              Dinv[i], UX, F[p][:, cols])
-            Minv = Minv.at[off:off + d, cols].add(-corr)
-        Fi_new = jnp.einsum("jk,kcb->jcb", S, Minv[off:off + d, cols])
-        if p != -1:
-            Fi_new = Fi_new + jnp.einsum("ijb,jcb->icb", Xs[i], F[p][:, cols])
-        F[i] = F[i].at[:, cols].set(Fi_new) if F[i] is not None else None
-        if F[i] is None:
-            F[i] = zeros_F().at[:, cols].set(Fi_new)
+        if d == 1:
+            s = model.S_ind[i]
+            if p != -1:
+                UX = XTv(Xs[i], U[i])                 # (6, B) row U^T X
+                contr = UX[0][None] * F[p][0, cols]
+                for j in range(1, 6):
+                    contr = contr + UX[j][None] * F[p][j, cols]
+                Minv = Minv.at[off, cols].add(-Dinv[i] * contr)
+                Fi_new = Xcols(Xs[i], F[p][:, cols])
+            else:
+                Fi_new = jnp.zeros((6, nv - off, B), dtype)
+            Fi_new = Fi_new.at[s].add(Minv[off, cols])
+        else:
+            S = jnp.asarray(S_matrix(model, i), dtype)
+            if p != -1:
+                UX = jnp.einsum("ikb,ijb->kjb", U[i], Xs[i])
+                corr = jnp.einsum("klb,ljb,jcb->kcb",
+                                  Dinv[i], UX, F[p][:, cols])
+                Minv = Minv.at[off:off + d, cols].add(-corr)
+                Fi_new = (jnp.einsum("jk,kcb->jcb", S, Minv[off:off + d, cols])
+                          + Xcols(Xs[i], F[p][:, cols]))
+            else:
+                Fi_new = jnp.einsum("jk,kcb->jcb", S, Minv[off:off + d, cols])
+        F[i] = F[i].at[:, cols].set(Fi_new)
 
     extras = dict(U=U, Dinv=Dinv, F=F, Xs=Xs)
     return Minv, extras
 
 
 def densify(Minv_upper: jnp.ndarray) -> jnp.ndarray:
-    """Mirror the upper triangle into the lower (reference ``test_densify_Minv``)."""
+    """Mirror the upper triangle into the lower (reference ``test_densify_Minv``).
+
+    Implemented as M + M^T - diag(M) on the upper factor — pure elementwise
+    (Pallas-compatible), no index scatter.
+    """
     nv = Minv_upper.shape[0]
-    iu = np.triu_indices(nv, 1)
-    upper = Minv_upper[iu[0], iu[1]]
-    return Minv_upper.at[iu[1], iu[0]].set(upper)
+    eye = jnp.asarray(np.eye(nv), Minv_upper.dtype)[:, :, None]
+    return (Minv_upper + jnp.swapaxes(Minv_upper, 0, 1)
+            - Minv_upper * eye)
 
 
 def minv(model: RobotModel, q: jnp.ndarray, dense: bool = True,

@@ -115,35 +115,112 @@ def crfS_f(S_ind: int, f):
 
 # ---------------------------------------------------------------------------
 # 6x6 operator actions (X: (6, 6, B) or (6, 6); v: (6, B))
+#
+# All contractions are unrolled over the length-6 structural index as sums of
+# elementwise products — no dot_general, no large broadcast temporaries.
+# This keeps every op a pure VPU elementwise chain that (a) XLA fuses across
+# the batch lanes and (b) Mosaic lowers directly inside Pallas kernels (the
+# reference's ``dot_prod`` device helper plays the same role,
+# ``_spatial_algebra_helpers.py:122-143``).
 # ---------------------------------------------------------------------------
 
 def Xv(X, v):
     """X @ v with trailing batch: (6,6,B),(6,B)->(6,B) (or unbatched X)."""
     if X.ndim == 2:
-        return jnp.einsum("ij,jb->ib", X, v)
-    return jnp.einsum("ijb,jb->ib", X, v)
+        X = X[:, :, None]
+    out = X[:, 0] * v[0]
+    for j in range(1, 6):
+        out = out + X[:, j] * v[j]
+    return out
 
 
 def XTv(X, v):
     """X^T @ v with trailing batch."""
     if X.ndim == 2:
-        return jnp.einsum("ji,jb->ib", X, v)
-    return jnp.einsum("jib,jb->ib", X, v)
+        X = X[:, :, None]
+    out = X[0] * v[0]
+    for j in range(1, 6):
+        out = out + X[j] * v[j]
+    return out
 
 
 def XM(X, M):
-    """X @ M for (6,6,B) operands."""
-    return jnp.einsum("ikb,kjb->ijb", X, M)
+    """X @ M for (6,6,B) operands -> (6,6,B)."""
+    out = X[:, 0][:, None] * M[0][None]
+    for j in range(1, 6):
+        out = out + X[:, j][:, None] * M[j][None]
+    return out
+
+
+def XTM(X, M):
+    """X^T @ M for (6,6,B) operands."""
+    out = X[0][:, None] * M[0][None]
+    for j in range(1, 6):
+        out = out + X[j][:, None] * M[j][None]
+    return out
+
+
+def MX(M, X):
+    """M @ X for (6,6,B) operands."""
+    out = M[:, 0][:, None] * X[0][None]
+    for j in range(1, 6):
+        out = out + M[:, j][:, None] * X[j][None]
+    return out
 
 
 def XTMX(X, M):
     """X^T @ M @ X for (6,6,B) operands (articulated-inertia propagation)."""
-    return jnp.einsum("kib,klb,ljb->ijb", X, M, X)
+    return MX(XTM(X, M), X)
 
 
 def Mv(M, v):
     """M @ v where M is an unbatched (6,6) constant (inertia) and v (6,B)."""
-    return jnp.einsum("ij,jb->ib", M, v)
+    out = M[:, 0][:, None] * v[0]
+    for j in range(1, 6):
+        out = out + M[:, j][:, None] * v[j]
+    return out
+
+
+def Xcols(X, D):
+    """Apply X (6,6,B) to every column of a (6,C,B) block -> (6,C,B)."""
+    out = X[:, 0][:, None] * D[0][None]
+    for j in range(1, 6):
+        out = out + X[:, j][:, None] * D[j][None]
+    return out
+
+
+def XTcols(X, D):
+    """Apply X^T to every column of a (6,C,B) block."""
+    out = X[0][:, None] * D[0][None]
+    for j in range(1, 6):
+        out = out + X[j][:, None] * D[j][None]
+    return out
+
+
+def Mcols(M, D):
+    """Constant (6,6) matrix times every column of (6,C,B)."""
+    out = M[:, 0][:, None, None] * D[0][None]
+    for j in range(1, 6):
+        out = out + M[:, j][:, None, None] * D[j][None]
+    return out
+
+
+def bmm(A, B):
+    """Generic trailing-batch matmul (m,k,B),(k,c,B)->(m,c,B), unrolled over k."""
+    k = A.shape[1]
+    out = A[:, 0][:, None] * B[0][None]
+    for j in range(1, k):
+        out = out + A[:, j][:, None] * B[j][None]
+    return out
+
+
+def bmv(A, x):
+    """Generic trailing-batch matvec (m,k,B),(k,B)->(m,B), unrolled over k."""
+    k = A.shape[1]
+    out = A[:, 0] * x[0]
+    for j in range(1, k):
+        out = out + A[:, j] * x[j]
+    return out
 
 
 def outer6(a, b):
@@ -153,4 +230,7 @@ def outer6(a, b):
 
 def dot6(a, b):
     """a^T b with trailing batch: (6,B),(6,B)->(B,)."""
-    return jnp.sum(a * b, axis=0)
+    out = a[0] * b[0]
+    for j in range(1, 6):
+        out = out + a[j] * b[j]
+    return out
