@@ -52,6 +52,7 @@ from .ops import minv as _minv
 from .ops import rnea as _rnea
 from .ops import so as _so
 from .ops.common import DEFAULT_GRAVITY
+from .ops.pallas import kernels as _pk
 from .topology.robot import RobotTopology
 from .topology.urdf import parse_urdf
 
@@ -85,7 +86,12 @@ class GRiD:
         dtype=jnp.float32,
         gravity: float = DEFAULT_GRAVITY,
         floating_base: bool = False,
+        use_pallas: Optional[bool] = None,
+        block_b: int = 256,
     ):
+        """``use_pallas``: run the fused single-kernel tier (default: auto —
+        on for fixed-base robots on TPU backends, off elsewhere). Batches not
+        divisible by ``block_b`` fall back to the XLA path for that call."""
         self.topology = init_robot(robot, floating_base=floating_base)
         self.model: RobotModel = build_model(self.topology, dtype=dtype)
         self.dtype = dtype
@@ -94,6 +100,11 @@ class GRiD:
         self.num_pos = self.model.num_pos
         self.num_vel = self.model.num_vel
         self.num_ees = _eepose.num_ees(self.model)
+        if use_pallas is None:
+            use_pallas = (not self.model.floating_base
+                          and jax.default_backend() == "tpu")
+        self.use_pallas = bool(use_pallas) and not self.model.floating_base
+        self.block_b = block_b
 
     # ------------------------------------------------------------------
     # layout shims: user (B, dim) <-> kernel (dim, B)
@@ -111,6 +122,21 @@ class GRiD:
         # kernel output (..., B) -> user (B, ...) or unbatched (...)
         x = jnp.moveaxis(x, -1, 0)
         return x[0] if unbatched else x
+
+    # ------------------------------------------------------------------
+    # fused Pallas kernel tier (cached; fixed-base TPU hot path)
+    # ------------------------------------------------------------------
+    def _pallas(self, name, builder):
+        cache = self.__dict__.setdefault("_pallas_cache", {})
+        if name not in cache:
+            cache[name] = jax.jit(builder())
+        return cache[name]
+
+    def _run(self, xla_fn, pallas_name, pallas_builder, args):
+        B = args[0].shape[-1]
+        if self.use_pallas and B % self.block_b == 0:
+            return self._pallas(pallas_name, pallas_builder)(*args)
+        return xla_fn(*args)
 
     # ------------------------------------------------------------------
     # jitted kernel tier (cached per algorithm)
@@ -187,34 +213,56 @@ class GRiD:
         qk, ub = self._in(q, self.num_pos)
         qdk, _ = self._in(qd, self.num_vel)
         if qdd is None:
-            return self._out(self._id_nq(qk, qdk), ub)
+            out = self._run(self._id_nq, "id_nq",
+                            lambda: _pk.rnea_pallas(
+                                self.model, self.gravity, with_qdd=False,
+                                block_b=self.block_b), (qk, qdk))
+            return self._out(out, ub)
         qddk, _ = self._in(qdd, self.num_vel)
-        return self._out(self._id(qk, qdk, qddk), ub)
+        out = self._run(self._id, "id",
+                        lambda: _pk.rnea_pallas(
+                            self.model, self.gravity, block_b=self.block_b),
+                        (qk, qdk, qddk))
+        return self._out(out, ub)
 
     def minv(self, q, dense: bool = True):
         """M(q)^-1: (B, nv, nv); ``dense=False`` gives the upper factor."""
         qk, ub = self._in(q, self.num_pos)
         fn = self._minv if dense else self._minv_upper
-        return self._out(fn(qk), ub)
+        out = self._run(fn, f"minv_{dense}",
+                        lambda: _pk.minv_pallas(
+                            self.model, dense, block_b=self.block_b), (qk,))
+        return self._out(out, ub)
 
     def fd(self, q, qd, u):
         """Forward dynamics qdd via the Minv route: (B, nv)."""
         qk, ub = self._in(q, self.num_pos)
         qdk, _ = self._in(qd, self.num_vel)
         uk, _ = self._in(u, self.num_vel)
-        return self._out(self._fd(qk, qdk, uk), ub)
+        out = self._run(self._fd, "fd",
+                        lambda: _pk.fd_pallas(
+                            self.model, self.gravity, block_b=self.block_b),
+                        (qk, qdk, uk))
+        return self._out(out, ub)
 
     def aba(self, q, qd, u):
         """Forward dynamics qdd via the articulated-body algorithm: (B, nv)."""
         qk, ub = self._in(q, self.num_pos)
         qdk, _ = self._in(qd, self.num_vel)
         uk, _ = self._in(u, self.num_vel)
-        return self._out(self._aba(qk, qdk, uk), ub)
+        out = self._run(self._aba, "aba",
+                        lambda: _pk.aba_pallas(
+                            self.model, self.gravity, block_b=self.block_b),
+                        (qk, qdk, uk))
+        return self._out(out, ub)
 
     def crba(self, q):
         """Mass matrix M(q): (B, nv, nv)."""
         qk, ub = self._in(q, self.num_pos)
-        return self._out(self._crba(qk), ub)
+        out = self._run(self._crba, "crba",
+                        lambda: _pk.crba_pallas(
+                            self.model, block_b=self.block_b), (qk,))
+        return self._out(out, ub)
 
     def id_du(self, q, qd, qdd=None):
         """Analytical dc/d[q|qd]: (B, nv, 2*nv)."""
@@ -222,14 +270,22 @@ class GRiD:
         qdk, _ = self._in(qd, self.num_vel)
         qddk = (jnp.zeros_like(qdk) if qdd is None
                 else self._in(qdd, self.num_vel)[0])
-        return self._out(self._id_du(qk, qdk, qddk), ub)
+        out = self._run(self._id_du, "id_du",
+                        lambda: _pk.id_du_pallas(
+                            self.model, self.gravity, block_b=self.block_b),
+                        (qk, qdk, qddk))
+        return self._out(out, ub)
 
     def fd_du(self, q, qd, u):
         """Analytical dqdd/d[q|qd]: (B, nv, 2*nv). dqdd/dtau is minv(q)."""
         qk, ub = self._in(q, self.num_pos)
         qdk, _ = self._in(qd, self.num_vel)
         uk, _ = self._in(u, self.num_vel)
-        return self._out(self._fd_du(qk, qdk, uk), ub)
+        out = self._run(self._fd_du, "fd_du",
+                        lambda: _pk.fd_du_pallas(
+                            self.model, self.gravity, block_b=self.block_b),
+                        (qk, qdk, uk))
+        return self._out(out, ub)
 
     def idsva_so(self, q, qd, qdd=None):
         """Second-order ID tensors [d2tau/dq2, d2tau/dqd2, cross, dM/dq]:

@@ -42,6 +42,7 @@ class RobotModel:
     joint_limits: jax.Array   # (n, 2) lower/upper (±inf where unset)
     Ttree: jax.Array          # (n, 4, 4) fixed homogeneous transforms (FK)
     Tfixed: jax.Array         # (n_fixed, 4, 4) fixed-joint target frames
+    subtree_mask: jax.Array   # (n, nv) 0/1 over velocity columns (Minv sparsity)
     # ---- static topology (pytree aux; drives trace-time specialization) ----
     name: str = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
@@ -92,6 +93,18 @@ def build_model(topo: RobotTopology, dtype=jnp.float32) -> RobotModel:
         fixed_names = ()
     levels = [tuple(topo.get_ids_by_bfs_level(l))
               for l in range(topo.get_max_bfs_level() + 1)]
+    # velocity-column subtree masks (drives dense+masked Minv updates)
+    nv = topo.get_num_vel()
+    voff, off = [], 0
+    for i in range(n):
+        d = 6 if topo.joints[i].jtype == "floating" else 1
+        voff.append((off, d))
+        off += d
+    sub_mask = np.zeros((n, nv))
+    for i in range(n):
+        for j in topo.get_subtree_by_id(i):
+            o, d = voff[j]
+            sub_mask[i, o:o + d] = 1.0
     return RobotModel(
         Xtree=jnp.asarray(Xtree, dtype),
         Imat=jnp.asarray(Imat, dtype),
@@ -99,6 +112,7 @@ def build_model(topo: RobotTopology, dtype=jnp.float32) -> RobotModel:
         joint_limits=jnp.asarray(limits, dtype),
         Ttree=jnp.asarray(Ttree, dtype),
         Tfixed=jnp.asarray(Tfixed, dtype),
+        subtree_mask=jnp.asarray(sub_mask, dtype),
         name=topo.name,
         n=n,
         num_pos=topo.get_num_pos(),

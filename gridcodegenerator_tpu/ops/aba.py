@@ -45,8 +45,8 @@ def aba(
     v: List[jnp.ndarray] = [None] * n
     cb: List[jnp.ndarray] = [None] * n
     pA: List[jnp.ndarray] = [None] * n
-    IA = [jnp.broadcast_to(model.Imat[i][:, :, None], (6, 6, B)).astype(dtype)
-          for i in range(n)]
+    tz = Xs[0][0, 0] * 0.0  # traced zero: materialize constant broadcasts
+    IA = [model.Imat[i][:, :, None].astype(dtype) + tz for i in range(n)]
     for lvl in model.bfs_levels:
         for i in lvl:
             off, d = vl[i]

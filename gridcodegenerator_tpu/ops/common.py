@@ -1,9 +1,15 @@
-"""Shared helpers for the batched algorithm implementations."""
+"""Shared helpers for the batched algorithm implementations.
+
+Everything here must lower inside Pallas/Mosaic as well as plain XLA: no
+scatter (`.at[]` updates), no captured array constants — one-hot masks and
+identity matrices are built in-trace from ``broadcasted_iota``.
+"""
 
 from __future__ import annotations
 
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -12,11 +18,29 @@ from ..models.model import RobotModel
 DEFAULT_GRAVITY = -9.81
 
 
+def onehot(k: int, size: int, dtype) -> jnp.ndarray:
+    """(size, 1) one-hot column e_k, built in-trace (Mosaic-safe)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0)
+    return (i == k).astype(dtype)
+
+
+def eye2d(size: int, dtype) -> jnp.ndarray:
+    """(size, size) identity built in-trace."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    return (r == c).astype(dtype)
+
+
+def rowmask_ge(off: int, size: int, dtype) -> jnp.ndarray:
+    """(size, 1) mask of rows >= off, built in-trace."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0)
+    return (i >= off).astype(dtype)
+
+
 def gravity_accel(GRAVITY: float, B: int, dtype) -> jnp.ndarray:
-    """The fictitious base acceleration [0,0,0,0,0,-GRAVITY] broadcast to (6,B)
-    (reference oracle ``_test.py:13-14``)."""
-    g = jnp.zeros((6, B), dtype=dtype)
-    return g.at[5].set(-GRAVITY)
+    """The fictitious base acceleration [0,0,0,0,0,-GRAVITY] as a (6,1)
+    column (broadcasts over lanes; reference oracle ``_test.py:13-14``)."""
+    return onehot(5, 6, dtype) * jnp.asarray(-GRAVITY, dtype)
 
 
 def vel_layout(model: RobotModel) -> List[Tuple[int, int]]:

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..models.model import RobotModel
-from .common import S_matrix, vel_layout
+from .common import S_matrix, eye2d, vel_layout
 from .spatial import XTMX, XTv
 from .xforms import all_xmats
 
@@ -29,46 +29,49 @@ def crba(model: RobotModel, q: jnp.ndarray, Xs=None) -> jnp.ndarray:
     dtype = Xs[0].dtype
     vl = vel_layout(model)
 
-    Ic = [jnp.broadcast_to(model.Imat[i][:, :, None], (6, 6, B)).astype(dtype)
-          for i in range(n)]
+    tz = Xs[0][0, 0] * 0.0  # traced zero: materialize constant broadcasts
+    Ic = [model.Imat[i][:, :, None].astype(dtype) + tz for i in range(n)]
     for lvl in reversed(model.bfs_levels):
         for i in lvl:
             p = model.parent[i]
             if p != -1:
                 Ic[p] = Ic[p] + XTMX(Xs[i], Ic[i])
 
-    M = jnp.zeros((nv, nv, B), dtype)
-    for i in range(n):
-        off_i, d_i = vl[i]
-        if d_i == 1:
+    if all(d == 1 for _, d in vl):
+        # scatter-free column-stack construction: column i holds entries at
+        # ancestors+self (rows j <= i, upper triangle), mirrored elementwise
+        zero = jnp.zeros((B,), dtype)
+        cols = []
+        for i in range(n):
             s_i = model.S_ind[i]
             fh = Ic[i][:, s_i]                        # (6, B)
-            M = M.at[off_i, off_i].set(fh[s_i])
+            entries = {i: fh[s_i]}
             j = i
             while model.parent[j] != -1:
                 fh = XTv(Xs[j], fh)
                 j = model.parent[j]
-                off_j, d_j = vl[j]
-                if d_j == 1:
-                    blk = fh[model.S_ind[j]]          # (B,)
-                    M = M.at[off_j, off_i].set(blk)
-                    M = M.at[off_i, off_j].set(blk)
-                else:
-                    M = M.at[off_j:off_j + 6, off_i].set(fh)
-                    M = M.at[off_i, off_j:off_j + 6].set(fh)
-        else:
-            S_i = jnp.asarray(S_matrix(model, i), dtype)
-            fh = jnp.einsum("ijb,jk->ikb", Ic[i], S_i)
-            diag = jnp.einsum("jk,jlb->klb", S_i, fh)
-            M = M.at[off_i:off_i + d_i, off_i:off_i + d_i].set(diag)
-            j = i
-            while model.parent[j] != -1:
-                fh = jnp.einsum("jib,jkb->ikb", Xs[j], fh)
-                j = model.parent[j]
-                off_j, d_j = vl[j]
-                S_j = jnp.asarray(S_matrix(model, j), dtype)
-                blk = jnp.einsum("jk,jlb->klb", S_j, fh)
-                M = M.at[off_j:off_j + d_j, off_i:off_i + d_i].set(blk)
-                M = M.at[off_i:off_i + d_i, off_j:off_j + d_j].set(
-                    jnp.swapaxes(blk, 0, 1))
+                entries[j] = fh[model.S_ind[j]]
+            cols.append(jnp.stack([entries.get(r, zero) for r in range(n)]))
+        Mu = jnp.stack(cols, axis=1)                  # (nv, nv, B) upper
+        eye = eye2d(nv, dtype)[:, :, None]
+        return Mu + jnp.swapaxes(Mu, 0, 1) - Mu * eye
+
+    # floating-base general path (XLA only)
+    M = jnp.zeros((nv, nv, B), dtype)
+    for i in range(n):
+        off_i, d_i = vl[i]
+        S_i = jnp.asarray(S_matrix(model, i), dtype)
+        fh = jnp.einsum("ijb,jk->ikb", Ic[i], S_i)
+        diag = jnp.einsum("jk,jlb->klb", S_i, fh)
+        M = M.at[off_i:off_i + d_i, off_i:off_i + d_i].set(diag)
+        j = i
+        while model.parent[j] != -1:
+            fh = jnp.einsum("jib,jkb->ikb", Xs[j], fh)
+            j = model.parent[j]
+            off_j, d_j = vl[j]
+            S_j = jnp.asarray(S_matrix(model, j), dtype)
+            blk = jnp.einsum("jk,jlb->klb", S_j, fh)
+            M = M.at[off_j:off_j + d_j, off_i:off_i + d_i].set(blk)
+            M = M.at[off_i:off_i + d_i, off_j:off_j + d_j].set(
+                jnp.swapaxes(blk, 0, 1))
     return M

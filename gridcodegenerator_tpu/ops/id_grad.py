@@ -31,7 +31,7 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 
 from ..models.model import RobotModel
-from .common import DEFAULT_GRAVITY, gravity_accel
+from .common import DEFAULT_GRAVITY, eye2d, gravity_accel, onehot
 from .rnea import rnea_bpass, rnea_fpass
 from .spatial import (Mcols as _Mcols, Mv, Xcols as _Xcols,
                       XTcols as _XTcols, XTv, Xv, cross_fv, cross_mv,
@@ -56,6 +56,7 @@ def id_grad_inner(
     B = qd.shape[-1]
     dtype = qd.dtype
     g = gravity_accel(GRAVITY, B, dtype)
+    tz = Xs[0][0, 0] * 0.0  # traced zero: materialize constant broadcasts
 
     # ---- stage 1: temporaries (all-joint parallel) -----------------------
     Iv = [Mv(model.Imat[i], v[i]) for i in range(n)]
@@ -69,9 +70,12 @@ def id_grad_inner(
         MxXa.append(mxS(s, Xa_p))
         Mxv.append(mxS(s, v[i]))
         # crf(v) @ I as a (6,6,B) operator: columns are cross_fv(v, I[:,k])
-        Icols = [jnp.broadcast_to(model.Imat[i][:, k][:, None], (6, B))
-                 for k in range(6)]
+        Icols = [model.Imat[i][:, k][:, None] + tz for k in range(6)]
         FxvI.append(jnp.stack([cross_fv(v[i], col) for col in Icols], axis=1))
+
+    # column-add helper: X + e_col ⊗ val (scatter-free; Mosaic-safe)
+    def col_add(D, col, val):
+        return D + onehot(col, nv, dtype)[None, :, :] * val[:, None, :]
 
     # ---- stage 2: forward dv/du waves ------------------------------------
     Dvq: List[jnp.ndarray] = [None] * n   # (6, nv, B) each
@@ -83,11 +87,11 @@ def id_grad_inner(
                 Dq = jnp.zeros((6, nv, B), dtype)
                 Dd = jnp.zeros((6, nv, B), dtype)
             else:
-                Dq = _Xcols(Xs[i], Dvq[p]).at[:, i].add(MxXv[i])
+                Dq = col_add(_Xcols(Xs[i], Dvq[p]), i, MxXv[i])
                 Dd = _Xcols(Xs[i], Dvqd[p])
-            Sd = jnp.zeros((6, B), dtype).at[model.S_ind[i]].set(1.0)
+            Sd = onehot(model.S_ind[i], 6, dtype) + tz  # materialized (6, B)
             Dvq[i] = Dq
-            Dvqd[i] = Dd.at[:, i].add(Sd)
+            Dvqd[i] = col_add(Dd, i, Sd)
 
     # ---- stage 3: da/du = crm(dv/du) S qd + self terms + X da_parent/du --
     Daq: List[jnp.ndarray] = [None] * n
@@ -96,8 +100,8 @@ def id_grad_inner(
         for i in lvl:
             s = model.S_ind[i]
             qdi = qd[i][None]  # broadcast over columns
-            Aq = mxS(s, Dvq[i], qdi).at[:, i].add(MxXa[i])
-            Ad = mxS(s, Dvqd[i], qdi).at[:, i].add(Mxv[i])
+            Aq = col_add(mxS(s, Dvq[i], qdi), i, MxXa[i])
+            Ad = col_add(mxS(s, Dvqd[i], qdi), i, Mxv[i])
             p = model.parent[i]
             if p != -1:
                 Aq = Aq + _Xcols(Xs[i], Daq[p])
@@ -121,12 +125,15 @@ def id_grad_inner(
             if p == -1:
                 continue
             corr = XTv(Xs[i], crfS_f(model.S_ind[i], f[i]))
-            Dfq[p] = (Dfq[p] + _XTcols(Xs[i], Dfq[i])).at[:, i].add(corr)
+            Dfq[p] = col_add(Dfq[p] + _XTcols(Xs[i], Dfq[i]), i, corr)
             Dfd[p] = Dfd[p] + _XTcols(Xs[i], Dfd[i])
 
     dcq = jnp.stack([Dfq[i][model.S_ind[i]] for i in range(n)])   # (nv,nv,B)
-    dcd = jnp.stack([Dfd[i][model.S_ind[i]] for i in range(n)])
-    dcd = dcd + jnp.eye(nv, dtype=dtype)[:, :, None] * model.damping[:, None, None]
+    # damping enters the dqd diagonal per row (scalar * one-hot — no
+    # lane-to-sublane reshape of the damping vector, Mosaic-safe)
+    dcd = jnp.stack([Dfd[i][model.S_ind[i]]
+                     + model.damping[i] * onehot(i, nv, dtype)
+                     for i in range(n)])
     return jnp.concatenate([dcq, dcd], axis=1)  # (nv, 2nv, B)
 
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.model import RobotModel
-from .common import S_matrix, vel_layout
+from .common import S_matrix, eye2d, onehot, rowmask_ge, vel_layout
 from .spatial import XTMX, XTcols, Xcols, XTv, outer6
 from .xforms import all_xmats
 
@@ -52,21 +52,19 @@ def minv_factors(model: RobotModel, q: jnp.ndarray, Xs=None):
     dtype = Xs[0].dtype
     vl = vel_layout(model)
 
-    # static subtree masks over velocity columns
-    sub_mask = []
-    for i in range(n):
-        m = np.zeros(nv)
-        for j in model.subtree[i]:
-            off, d = vl[j]
-            m[off:off + d] = 1.0
-        sub_mask.append(jnp.asarray(m, dtype))  # (nv,)
+    # subtree masks over velocity columns, (nv, 1) each (model constant so the
+    # same trace lowers in Pallas without captured array constants)
+    sub_mask = [model.subtree_mask[i][:, None].astype(dtype)
+                for i in range(n)]
 
     Minv = jnp.zeros((nv, nv, B), dtype)
     F: List[Optional[jnp.ndarray]] = [None] * n  # per joint (6, nv, B)
     U: List[Optional[jnp.ndarray]] = [None] * n
     Dinv: List[Optional[jnp.ndarray]] = [None] * n
-    IA = [jnp.broadcast_to(model.Imat[i][:, :, None], (6, 6, B)).astype(dtype)
-          for i in range(n)]
+    # traced zero: materializes constant broadcasts so Mosaic lays them out
+    # as real vectors (a constant-zero add would be folded away)
+    tz = Xs[0][0, 0] * 0.0
+    IA = [model.Imat[i][:, :, None].astype(dtype) + tz for i in range(n)]
 
     def zeros_F():
         return jnp.zeros((6, nv, B), dtype)
@@ -83,12 +81,12 @@ def minv_factors(model: RobotModel, q: jnp.ndarray, Xs=None):
                 Ui = IA[i][:, s]                      # (6, B)
                 Dinv_i = 1.0 / Ui[s]                  # (B,)
                 U[i], Dinv[i] = Ui, Dinv_i
-                row = -Dinv_i * F[i][s] * sub_mask[i][:, None]  # (nv, B)
-                row = row.at[off].add(Dinv_i)
-                Minv = Minv.at[off].add(row)
+                row = -Dinv_i * F[i][s] * sub_mask[i]           # (nv, B)
+                row = row + onehot(off, nv, dtype) * Dinv_i
+                Minv = Minv + onehot(off, nv, dtype)[:, :, None] * row[None]
                 if p != -1:
                     Fi = F[i] + (Ui[:, None] * Minv[off][None]
-                                 * sub_mask[i][None, :, None])
+                                 * sub_mask[i][None])
                     F[i] = Fi
                     if F[p] is None:
                         F[p] = zeros_F()
@@ -103,13 +101,13 @@ def minv_factors(model: RobotModel, q: jnp.ndarray, Xs=None):
                 U[i], Dinv[i] = Ui, Dinv_i
                 SF = jnp.einsum("jk,jcb->kcb", S, F[i])
                 rows = -jnp.einsum("klb,lcb->kcb", Dinv_i, SF)
-                rows = rows * sub_mask[i][None, :, None]
+                rows = rows * sub_mask[i][None]
                 rows = rows.at[:, off:off + d].add(Dinv_i)
                 Minv = Minv.at[off:off + d].add(rows)
                 if p != -1:
                     Fi = F[i] + jnp.einsum(
                         "ikb,kcb->icb", Ui,
-                        Minv[off:off + d]) * sub_mask[i][None, :, None]
+                        Minv[off:off + d]) * sub_mask[i][None]
                     F[i] = Fi
                     if F[p] is None:
                         F[p] = zeros_F()
@@ -117,24 +115,28 @@ def minv_factors(model: RobotModel, q: jnp.ndarray, Xs=None):
                     UDUt = jnp.einsum("ikb,klb,jlb->ijb", Ui, Dinv_i, Ui)
                     IA[p] = IA[p] + XTMX(Xs[i], IA[i] - UDUt)
 
-    # ---- forward pass (serial over joints, static growing slices) --------
+    # ---- forward pass (serial over joints; full-width compute masked to the
+    # growing column range, scatter-free) -----------------------------------
     for i in range(n):
         off, d = vl[i]
         p = model.parent[i]
-        cols = slice(off, nv)
         if d == 1:
             s = model.S_ind[i]
+            cmask = rowmask_ge(off, nv, dtype)        # (nv, 1) cols >= off
             if p != -1:
                 UX = XTv(Xs[i], U[i])                 # (6, B) row U^T X
-                contr = UX[0][None] * F[p][0, cols]
+                contr = UX[0][None] * F[p][0]
                 for j in range(1, 6):
-                    contr = contr + UX[j][None] * F[p][j, cols]
-                Minv = Minv.at[off, cols].add(-Dinv[i] * contr)
-                Fi_new = Xcols(Xs[i], F[p][:, cols])
+                    contr = contr + UX[j][None] * F[p][j]
+                delta = -Dinv[i] * contr * cmask      # (nv, B)
+                Minv = Minv + onehot(off, nv, dtype)[:, :, None] * delta[None]
+                Fi_new = Xcols(Xs[i], F[p])
             else:
-                Fi_new = jnp.zeros((6, nv - off, B), dtype)
-            Fi_new = Fi_new.at[s].add(Minv[off, cols])
+                Fi_new = jnp.zeros((6, nv, B), dtype)
+            Fi_new = Fi_new + onehot(s, 6, dtype)[:, :, None] * Minv[off][None]
+            F[i] = F[i] * (1.0 - cmask)[None] + Fi_new * cmask[None]
         else:
+            cols = slice(off, nv)
             S = jnp.asarray(S_matrix(model, i), dtype)
             if p != -1:
                 UX = jnp.einsum("ikb,ijb->kjb", U[i], Xs[i])
@@ -145,7 +147,7 @@ def minv_factors(model: RobotModel, q: jnp.ndarray, Xs=None):
                           + Xcols(Xs[i], F[p][:, cols]))
             else:
                 Fi_new = jnp.einsum("jk,kcb->jcb", S, Minv[off:off + d, cols])
-        F[i] = F[i].at[:, cols].set(Fi_new)
+            F[i] = F[i].at[:, cols].set(Fi_new)
 
     extras = dict(U=U, Dinv=Dinv, F=F, Xs=Xs)
     return Minv, extras
@@ -158,7 +160,7 @@ def densify(Minv_upper: jnp.ndarray) -> jnp.ndarray:
     (Pallas-compatible), no index scatter.
     """
     nv = Minv_upper.shape[0]
-    eye = jnp.asarray(np.eye(nv), Minv_upper.dtype)[:, :, None]
+    eye = eye2d(nv, Minv_upper.dtype)[:, :, None]
     return (Minv_upper + jnp.swapaxes(Minv_upper, 0, 1)
             - Minv_upper * eye)
 
