@@ -1,0 +1,152 @@
+"""Cost models for the trajectory optimizers.
+
+The optimizers consume a ``CostModel`` exposing stage/terminal values and
+their quadratic expansions on lane-major batched states x = [q; qd] (2n, B)
+and controls u (n, B). Provided models:
+
+* :class:`QuadCost` — diagonal quadratic tracking cost (closed-form
+  expansions; the standard benchmark cost);
+* :class:`EEReachCost` — end-effector reach: 0.5*||ee_xyz(q) - goal||^2_W
+  with Gauss-Newton Hessian via the analytical FK Jacobian, plus quadratic
+  velocity/control regularizers (the iLQR point-to-point reach task of
+  BASELINE.md config 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.model import RobotModel
+from ..ops import eepose as _eepose
+
+
+class CostModel:
+    """Interface: all arrays lane-major, t is the knot index (static int)."""
+
+    def stage(self, x, u, t):
+        """-> scalar cost per lane (B,)."""
+        raise NotImplementedError
+
+    def terminal(self, x):
+        raise NotImplementedError
+
+    def stage_expansion(self, x, u, t):
+        """-> (l, lx (2n,B), lu (n,B), lxx (2n,2n,B), luu (n,n,B),
+        lux (n,2n,B))."""
+        raise NotImplementedError
+
+    def terminal_expansion(self, x):
+        """-> (l, lx, lxx)."""
+        raise NotImplementedError
+
+
+@dataclasses.dataclass
+class QuadCost(CostModel):
+    """0.5 (x-xg)^T Q (x-xg) + 0.5 u^T R u, terminal Qf; diagonal weights."""
+
+    Q: jnp.ndarray       # (2n,)
+    R: jnp.ndarray       # (n,)
+    Qf: jnp.ndarray      # (2n,)
+    x_goal: jnp.ndarray  # (2n,) or (2n, B)
+
+    def _xg(self, x):
+        xg = self.x_goal
+        return xg[:, None] if xg.ndim == 1 else xg
+
+    def stage(self, x, u, t):
+        dx = x - self._xg(x)
+        return (0.5 * jnp.sum(self.Q[:, None] * dx * dx, axis=0)
+                + 0.5 * jnp.sum(self.R[:, None] * u * u, axis=0))
+
+    def terminal(self, x):
+        dx = x - self._xg(x)
+        return 0.5 * jnp.sum(self.Qf[:, None] * dx * dx, axis=0)
+
+    def stage_expansion(self, x, u, t):
+        B = x.shape[-1]
+        dx = x - self._xg(x)
+        lx = self.Q[:, None] * dx
+        lu = self.R[:, None] * u
+        lxx = jnp.diag(self.Q)[:, :, None] + jnp.zeros((1, 1, B), x.dtype)
+        luu = jnp.diag(self.R)[:, :, None] + jnp.zeros((1, 1, B), x.dtype)
+        lux = jnp.zeros((u.shape[0], x.shape[0], B), x.dtype)
+        return self.stage(x, u, t), lx, lu, lxx, luu, lux
+
+    def terminal_expansion(self, x):
+        B = x.shape[-1]
+        dx = x - self._xg(x)
+        lxx = jnp.diag(self.Qf)[:, :, None] + jnp.zeros((1, 1, B), x.dtype)
+        return self.terminal(x), self.Qf[:, None] * dx, lxx
+
+
+@dataclasses.dataclass
+class EEReachCost(CostModel):
+    """Reach an EE xyz goal: stage/terminal GN cost on FK + regularizers."""
+
+    model: RobotModel
+    goal_xyz: jnp.ndarray        # (3,) or (3, B)
+    w_pos: float = 1.0           # stage EE weight
+    w_pos_f: float = 100.0       # terminal EE weight
+    w_vel: float = 1e-2
+    w_u: float = 1e-4
+    ee_index: int = 0
+
+    def _err_jac(self, q):
+        """EE xyz error (3,B) + Jacobian (3,n,B) for EE ``ee_index``."""
+        pose = _eepose.eepos(self.model, q)
+        J = _eepose.deepos(self.model, q)
+        k = 6 * self.ee_index
+        g = self.goal_xyz
+        g = g[:, None] if g.ndim == 1 else g
+        return pose[k:k + 3] - g, J[k:k + 3]
+
+    def stage(self, x, u, t):
+        n = self.model.num_vel
+        q, qd = x[:n], x[n:]
+        e, _ = self._err_jac(q)
+        return (0.5 * self.w_pos * jnp.sum(e * e, axis=0)
+                + 0.5 * self.w_vel * jnp.sum(qd * qd, axis=0)
+                + 0.5 * self.w_u * jnp.sum(u * u, axis=0))
+
+    def terminal(self, x):
+        n = self.model.num_vel
+        q, qd = x[:n], x[n:]
+        e, _ = self._err_jac(q)
+        return (0.5 * self.w_pos_f * jnp.sum(e * e, axis=0)
+                + 0.5 * self.w_vel * jnp.sum(qd * qd, axis=0))
+
+    def _expand(self, x, w_pos):
+        n = self.model.num_vel
+        B = x.shape[-1]
+        dtype = x.dtype
+        q, qd = x[:n], x[n:]
+        e, J = self._err_jac(q)
+        # gradient: [w J^T e ; w_vel qd]; GN Hessian: [w J^T J, 0; 0, w_vel I]
+        JTe = jnp.sum(J * e[:, None, :], axis=0)              # (n, B)
+        JTJ = jnp.einsum("kib,kjb->ijb", J, J)
+        lx = jnp.concatenate([w_pos * JTe, self.w_vel * qd], axis=0)
+        eye_n = jnp.eye(n, dtype=dtype)[:, :, None] + jnp.zeros((1, 1, B), dtype)
+        z = jnp.zeros((n, n, B), dtype)
+        top = jnp.concatenate([w_pos * JTJ, z], axis=1)
+        bot = jnp.concatenate([z, self.w_vel * eye_n], axis=1)
+        lxx = jnp.concatenate([top, bot], axis=0)
+        return lx, lxx
+
+    def stage_expansion(self, x, u, t):
+        n = self.model.num_vel
+        B = x.shape[-1]
+        lx, lxx = self._expand(x, self.w_pos)
+        lu = self.w_u * u
+        luu = (self.w_u * jnp.eye(n, dtype=x.dtype)[:, :, None]
+               + jnp.zeros((1, 1, B), x.dtype))
+        lux = jnp.zeros((n, 2 * n, B), x.dtype)
+        return self.stage(x, u, t), lx, lu, lxx, luu, lux
+
+    def terminal_expansion(self, x):
+        lx, lxx = self._expand(x, self.w_pos_f)
+        return self.terminal(x), lx, lxx

@@ -1,0 +1,248 @@
+"""Batched iLQR / DDP over the TPU dynamics-gradient suite.
+
+The trajectory-optimization layer named in the north star (BASELINE.md
+configs 3-4) — nothing to mirror in the reference repo itself, which stops at
+the dynamics kernels; this is what those kernels exist to serve (the GRiD
+wrapper's downstream MPC use case).
+
+TPU-native design:
+  * the solver is *batched over problems*: every array carries a trailing
+    lane axis B (independent MPC problems / scenario rollouts), so even the
+    sequential Riccati sweep and rollouts keep the VPU lanes full;
+  * per-knot dynamics linearizations for ALL N knots and B problems are one
+    fused ``fd_du`` call with the horizon folded into the batch axis
+    ((n, N*B) lanes) — the analog of the reference's NUM_TIMESTEPS
+    block-per-knot batching;
+  * time recursions (rollout, Riccati) are ``lax.scan``; the line search
+    evaluates every candidate step size in one widened-batch feedback
+    rollout ((n_alpha*B) lanes) and selects the per-problem argmin;
+  * DDP mode (``use_second_order=True``) adds the exact second-order
+    dynamics contraction V_x . f_xx from the FDSVA-SO tensor suite
+    (BASELINE.md config 4).
+
+Integrator: semi-implicit Euler — qd' = qd + dt*qdd, q' = q + dt*qd'.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.model import RobotModel
+from ..ops import fd_grad as _fd_grad
+from ..ops import so as _so
+from ..ops.aba import aba as _aba_fn
+from ..ops.common import DEFAULT_GRAVITY
+from ..ops.linalg import gj_inverse
+from ..ops.spatial import bmm, bmv
+from .cost import CostModel
+
+
+@dataclasses.dataclass(frozen=True)
+class ILQRConfig:
+    N: int = 64                   # knot points (horizon)
+    dt: float = 0.01
+    iters: int = 10
+    reg: float = 1e-6             # Quu Levenberg regularization
+    alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
+    use_second_order: bool = False
+    gravity: float = DEFAULT_GRAVITY
+    u_min: float = None           # control box bounds (projected rollouts)
+    u_max: float = None
+
+    def clamp(self, u):
+        if self.u_min is None and self.u_max is None:
+            return u
+        return jnp.clip(u, self.u_min, self.u_max)
+
+
+class ILQRResult(NamedTuple):
+    X: jnp.ndarray           # (N+1, 2n, B) optimized state trajectory
+    U: jnp.ndarray           # (N, n, B) optimized controls
+    cost: jnp.ndarray        # (B,) final cost
+    cost_trace: jnp.ndarray  # (iters+1, B)
+    K: jnp.ndarray           # (N, n, 2n, B) final feedback gains
+    k: jnp.ndarray           # (N, n, B) final feedforward
+
+
+def dynamics_step(model: RobotModel, x, u, dt, gravity=DEFAULT_GRAVITY):
+    """Semi-implicit Euler step on lane-major x = [q; qd] (2n, B)."""
+    n = model.num_vel
+    q, qd = x[:n], x[n:]
+    qdd = _aba_fn(model, q, qd, u, gravity)
+    qd_new = qd + dt * qdd
+    return jnp.concatenate([q + dt * qd_new, qd_new], axis=0)
+
+
+def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
+    """Build a batched solver: solve(x0 (2n,B), U0 (N,n,B)) -> ILQRResult.
+
+    The returned callable is pure and jittable (callers should wrap in
+    ``jax.jit``); everything inside specializes on the static config/model.
+    """
+    n = model.num_vel
+    nx = 2 * n
+    N, dt = cfg.N, cfg.dt
+    na = len(cfg.alphas)
+
+    # ------------------------------------------------------------------
+    def rollout(x0, U):
+        def body(x, u):
+            xn = dynamics_step(model, x, cfg.clamp(u), dt, cfg.gravity)
+            return xn, xn
+        _, Xs = jax.lax.scan(body, x0, U)
+        return jnp.concatenate([x0[None], Xs], axis=0)  # (N+1, 2n, B)
+
+    def total_cost(X, U):
+        c = cost.terminal(X[N])
+        for t in range(N):  # unrolled: t stays static for cost.stage
+            c = c + cost.stage(X[t], U[t], t)
+        return c
+
+    # ------------------------------------------------------------------
+    def linearize(X, U):
+        """One fused fd_du call over N*B lanes -> discrete A, B blocks."""
+        B = X.shape[-1]
+        q = jnp.moveaxis(X[:N, :n], 0, -1).reshape(n, N * B)
+        qd = jnp.moveaxis(X[:N, n:], 0, -1).reshape(n, N * B)
+        u = jnp.moveaxis(U, 0, -1).reshape(n, N * B)
+        df_du, _, Mi = _fd_grad.fd_grad(model, q, qd, u, cfg.gravity,
+                                        return_extras=True)
+        dfdq, dfdqd = df_du[:, :n], df_du[:, n:]
+        I_n = jnp.eye(n, dtype=X.dtype)[:, :, None]
+        A21 = dt * dfdq                         # dqd'/dq
+        A22 = I_n + dt * dfdqd                  # dqd'/dqd
+        A11 = I_n + dt * A21                    # dq'/dq
+        A12 = dt * A22                          # dq'/dqd
+        Bqd = dt * Mi                           # dqd'/du
+        Bq = dt * Bqd                           # dq'/du
+        Amat = jnp.concatenate([
+            jnp.concatenate([A11, A12], axis=1),
+            jnp.concatenate([A21, A22], axis=1)], axis=0)    # (2n, 2n, N*B)
+        Bmat = jnp.concatenate([Bq, Bqd], axis=0)            # (2n, n, N*B)
+        Amat = jnp.moveaxis(Amat.reshape(nx, nx, N, B), 2, 0)
+        Bmat = jnp.moveaxis(Bmat.reshape(nx, n, N, B), 2, 0)
+        return Amat, Bmat, (q, qd, u)
+
+    # ------------------------------------------------------------------
+    def backward(X, U, Amat, Bmat, so_t):
+        """Riccati sweep (reverse scan over knots), batched over lanes."""
+        B = X.shape[-1]
+        _, Vx0, Vxx0 = cost.terminal_expansion(X[N])
+        # tie the carry to the (possibly shard_map-varying) state so the scan
+        # carry types match even when lxx is a broadcast constant
+        Vxx0 = Vxx0 + 0.0 * Vx0[0]
+
+        exps = [cost.stage_expansion(X[t], U[t], t) for t in range(N)]
+        lx = jnp.stack([e[1] for e in exps])
+        lu = jnp.stack([e[2] for e in exps])
+        lxx = jnp.stack([jnp.broadcast_to(e[3], (nx, nx, B)) for e in exps])
+        luu = jnp.stack([jnp.broadcast_to(e[4], (n, n, B)) for e in exps])
+        lux = jnp.stack([e[5] for e in exps])
+        scan_in = (Amat, Bmat, lx, lu, lxx, luu, lux) + (so_t or ())
+
+        def body(carry, inp):
+            Vx, Vxx = carry
+            A, Bm = inp[0], inp[1]
+            lx_t, lu_t, lxx_t, luu_t, lux_t = inp[2:7]
+            At = jnp.swapaxes(A, 0, 1)
+            Bt = jnp.swapaxes(Bm, 0, 1)
+            Qx = lx_t + bmv(At, Vx)
+            Qu = lu_t + bmv(Bt, Vx)
+            Qxx = lxx_t + bmm(bmm(At, Vxx), A)
+            Qux = lux_t + bmm(bmm(Bt, Vxx), A)
+            Quu = luu_t + bmm(bmm(Bt, Vxx), Bm)
+            if cfg.use_second_order:
+                # exact DDP terms: contract V'_x with the second-order
+                # dynamics tensors of the semi-implicit Euler map
+                d2q_t, d2qd_t, cr_t, dMi_t = inp[7:11]
+                w = dt * Vx[n:] + dt * dt * Vx[:n]              # (n, B)
+                hqq = jnp.sum(w[:, None, None, :] * d2q_t, axis=0)
+                hdd = jnp.sum(w[:, None, None, :] * d2qd_t, axis=0)
+                hcr = jnp.sum(w[:, None, None, :] * cr_t, axis=0)   # [qd,q]
+                hMq = jnp.sum(w[:, None, None, :] * dMi_t, axis=0)  # [u,q]
+                Qxx = Qxx + jnp.concatenate([
+                    jnp.concatenate([hqq, jnp.swapaxes(hcr, 0, 1)], axis=1),
+                    jnp.concatenate([hcr, hdd], axis=1)], axis=0)
+                Qux = Qux + jnp.concatenate(
+                    [hMq, jnp.zeros_like(hMq)], axis=1)
+            reg_eye = cfg.reg * jnp.eye(n, dtype=Quu.dtype)[:, :, None]
+            Quu_inv = gj_inverse(Quu + reg_eye)
+            k_t = -bmv(Quu_inv, Qu)
+            K_t = -bmm(Quu_inv, Qux)
+            Kt_T = jnp.swapaxes(K_t, 0, 1)
+            Qux_T = jnp.swapaxes(Qux, 0, 1)
+            Vx_n = (Qx + bmv(Kt_T, bmv(Quu, k_t)) + bmv(Kt_T, Qu)
+                    + bmv(Qux_T, k_t))
+            Vxx_n = (Qxx + bmm(Kt_T, bmm(Quu, K_t)) + bmm(Kt_T, Qux)
+                     + bmm(Qux_T, K_t))
+            Vxx_n = 0.5 * (Vxx_n + jnp.swapaxes(Vxx_n, 0, 1))
+            return (Vx_n, Vxx_n), (k_t, K_t)
+
+        _, (ks, Ks) = jax.lax.scan(body, (Vx0, Vxx0), scan_in, reverse=True)
+        return ks, Ks
+
+    # ------------------------------------------------------------------
+    def forward(X, U, ks, Ks):
+        """Line search: all alphas in one widened-batch feedback rollout."""
+        B = X.shape[-1]
+        al = jnp.asarray(cfg.alphas, X.dtype)
+
+        def widen(z):  # (..., B) -> (..., na*B), lane grouping [a0*B | a1*B..]
+            return jnp.tile(z, (1,) * (z.ndim - 1) + (na,))
+        alpha_w = jnp.repeat(al, B)
+
+        def body(x, inp):
+            x_ref, u_ref, k_t, K_t = inp
+            du = alpha_w * widen(k_t) + bmv(widen(K_t), x - widen(x_ref))
+            u = cfg.clamp(widen(u_ref) + du).astype(x.dtype)
+            xn = dynamics_step(model, x, u, dt, cfg.gravity)
+            return xn, (xn, u)
+
+        _, (Xw, Uw) = jax.lax.scan(body, widen(X[0]), (X[:N], U, ks, Ks))
+        Xw = jnp.concatenate([widen(X[0])[None], Xw], axis=0)
+        cw = total_cost(Xw, Uw).reshape(na, B)
+        best = jnp.argmin(cw, axis=0)                            # (B,)
+        XwA = Xw.reshape(N + 1, nx, na, B)
+        UwA = Uw.reshape(N, n, na, B)
+        idx = best[None, None, None, :]
+        Xb = jnp.take_along_axis(XwA, idx, axis=2)[:, :, 0]
+        Ub = jnp.take_along_axis(UwA, idx, axis=2)[:, :, 0]
+        dtype = X.dtype
+        return Xb.astype(dtype), Ub.astype(dtype), jnp.min(cw, axis=0)
+
+    # ------------------------------------------------------------------
+    def solve(x0, U0):
+        dtype = model.Imat.dtype
+        x0 = x0.astype(dtype)
+        U0 = U0.astype(dtype)
+        X = rollout(x0, U0)
+        c0 = total_cost(X, U0)
+
+        def iteration(carry, _):
+            X, U, c = carry
+            Amat, Bmat, (qf, qdf, uf) = linearize(X, U)
+            so_t = None
+            if cfg.use_second_order:
+                B = X.shape[-1]
+                so_flat = _so.fdsva_so(model, qf, qdf, uf, cfg.gravity)
+                so_t = tuple(
+                    jnp.moveaxis(so_flat[i].reshape(n, n, n, N, B), 3, 0)
+                    for i in range(4))
+            ks, Ks = backward(X, U, Amat, Bmat, so_t)
+            Xn, Un, cn = forward(X, U, ks, Ks)
+            acc = cn < c
+            Xn = jnp.where(acc[None, None, :], Xn, X)
+            Un = jnp.where(acc[None, None, :], Un, U)
+            cn = jnp.where(acc, cn, c)
+            return (Xn, Un, cn), (cn, ks, Ks)
+
+        (Xf, Uf, cf), (ctrace, ks_all, Ks_all) = jax.lax.scan(
+            iteration, (X, U0, c0), None, length=cfg.iters)
+        ctrace = jnp.concatenate([c0[None], ctrace], axis=0)
+        return ILQRResult(Xf, Uf, cf, ctrace, Ks_all[-1], ks_all[-1])
+
+    return solve
