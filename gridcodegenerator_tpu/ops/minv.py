@@ -102,7 +102,11 @@ def minv_factors(model: RobotModel, q: jnp.ndarray, Xs=None):
                 SF = jnp.einsum("jk,jcb->kcb", S, F[i])
                 rows = -jnp.einsum("klb,lcb->kcb", Dinv_i, SF)
                 rows = rows * sub_mask[i][None]
-                rows = rows.at[:, off:off + d].add(Dinv_i)
+                # keep the SYMMETRIC_UPPER convention: store only the upper
+                # triangle of the (symmetric) diagonal block, else densify
+                # would double its off-diagonals
+                triu = jnp.asarray(np.triu(np.ones((d, d))), dtype)[:, :, None]
+                rows = rows.at[:, off:off + d].add(Dinv_i * triu)
                 Minv = Minv.at[off:off + d].add(rows)
                 if p != -1:
                     Fi = F[i] + jnp.einsum(

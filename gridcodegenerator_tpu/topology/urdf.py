@@ -249,6 +249,8 @@ def make_floating_base(topo: RobotTopology) -> RobotTopology:
         topo.get_Imat_by_id(i) for i in range(n)]
     fixed = [FixedJoint(f.name, f.fid, f.parent_jid + 1, f.Ttree.copy(),
                         f.parent_link, f.child_link) for f in topo.fixed_joints]
+    name = topo.name if topo.name.endswith("_floating") \
+        else topo.name + "_floating"
     return RobotTopology(
-        name=topo.name + "_floating", joints=joints, Imats=Imats,
+        name=name, joints=joints, Imats=Imats,
         base_inertia=np.zeros((6, 6)), fixed_joints=fixed, floating_base=True)

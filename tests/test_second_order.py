@@ -1,0 +1,79 @@
+"""Second-order derivative suites (IDSVA-SO / FDSVA-SO analogs).
+
+Oracle: nested forward-mode autodiff of the *plain RNEA/FD* functions —
+independent of the analytical first-order kernels the suite differentiates,
+so agreement checks both layers at once.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gridcodegenerator_tpu.models.model import build_model
+from gridcodegenerator_tpu.models.zoo import load_robot
+from gridcodegenerator_tpu.ops.fd import forward_dynamics
+from gridcodegenerator_tpu.ops.rnea import rnea
+from gridcodegenerator_tpu.ops.so import fdsva_so, idsva_so
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = build_model(load_robot("pendulum2"), dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    n, B = model.n, 2
+    arrs = tuple(jnp.asarray(rng.uniform(-1, 1, (n, B))) for _ in range(3))
+    return model, arrs
+
+
+def test_idsva_so_vs_nested_autodiff(setup):
+    model, (q, qd, qdd) = setup
+    n = model.n
+    T = np.asarray(jax.jit(idsva_so)(model, q, qd, qdd))  # (4,n,n,n,B)
+
+    def tau(qs, qds, qdds):
+        return rnea(model, qs[:, None], qds[:, None], qdds[:, None])[:, 0]
+
+    d2q = jax.jit(jax.vmap(jax.jacfwd(jax.jacfwd(tau, 0), 0),
+                           in_axes=-1, out_axes=-1))(q, qd, qdd)
+    d2qd = jax.jit(jax.vmap(jax.jacfwd(jax.jacfwd(tau, 1), 1),
+                            in_axes=-1, out_axes=-1))(q, qd, qdd)
+    # cross[i, j, k] = d2tau_i / dqd_j dq_k
+    cross = jax.jit(jax.vmap(jax.jacfwd(jax.jacfwd(tau, 1), 0),
+                             in_axes=-1, out_axes=-1))(q, qd, qdd)
+    dM = jax.jit(jax.vmap(jax.jacfwd(jax.jacfwd(tau, 2), 0),
+                          in_axes=-1, out_axes=-1))(q, qd, qdd)
+    np.testing.assert_allclose(T[0], np.asarray(d2q), atol=1e-9)
+    np.testing.assert_allclose(T[1], np.asarray(d2qd), atol=1e-9)
+    np.testing.assert_allclose(T[2], np.asarray(cross), atol=1e-9)
+    np.testing.assert_allclose(T[3], np.asarray(dM), atol=1e-9)
+
+
+def test_fdsva_so_vs_nested_autodiff(setup):
+    model, (q, qd, u) = setup
+    T = np.asarray(jax.jit(fdsva_so)(model, q, qd, u))
+
+    def qdd_fn(qs, qds, us):
+        return forward_dynamics(model, qs[:, None], qds[:, None],
+                                us[:, None])[:, 0]
+
+    d2q = jax.jit(jax.vmap(jax.jacfwd(jax.jacfwd(qdd_fn, 0), 0),
+                           in_axes=-1, out_axes=-1))(q, qd, u)
+    d2qd = jax.jit(jax.vmap(jax.jacfwd(jax.jacfwd(qdd_fn, 1), 1),
+                            in_axes=-1, out_axes=-1))(q, qd, u)
+    cross = jax.jit(jax.vmap(jax.jacfwd(jax.jacfwd(qdd_fn, 1), 0),
+                             in_axes=-1, out_axes=-1))(q, qd, u)
+    dtau_q = jax.jit(jax.vmap(jax.jacfwd(jax.jacfwd(qdd_fn, 2), 0),
+                              in_axes=-1, out_axes=-1))(q, qd, u)
+    np.testing.assert_allclose(T[0], np.asarray(d2q), atol=1e-8)
+    np.testing.assert_allclose(T[1], np.asarray(d2qd), atol=1e-8)
+    np.testing.assert_allclose(T[2], np.asarray(cross), atol=1e-8)
+    np.testing.assert_allclose(T[3], np.asarray(dtau_q), atol=1e-8)
+
+
+def test_idsva_symmetries(setup):
+    """d2tau/dq2 and d2tau/dqd2 are symmetric in the two derivative axes."""
+    model, (q, qd, qdd) = setup
+    T = np.asarray(jax.jit(idsva_so)(model, q, qd, qdd))
+    np.testing.assert_allclose(T[0], np.swapaxes(T[0], 1, 2), atol=1e-9)
+    np.testing.assert_allclose(T[1], np.swapaxes(T[1], 1, 2), atol=1e-9)
