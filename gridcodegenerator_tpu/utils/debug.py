@@ -48,8 +48,9 @@ def oracle_rnea_stages(topo: RobotTopology, q, qd, qdd=None,
     v, a, f_body = _oracle.rnea_fpass(topo, q, qd, qdd, GRAVITY)
     c, f_acc = _oracle.rnea_bpass(topo, q, qd, f_body)
     return {
-        "X": np.stack([topo.get_Xmat_Func_by_id(i)(q[i]) for i in range(n)]),
-        "v": v.T[:, :, None] * np.ones(1),
+        "X": np.stack([topo.get_Xmat_Func_by_id(i)(q[i])
+                       for i in range(n)])[..., None],
+        "v": v.T[:, :, None],
         "a": a.T[:, :, None],
         "f_body": f_body.T[:, :, None],
         "f": f_acc.T[:, :, None],
