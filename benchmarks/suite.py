@@ -1,0 +1,86 @@
+"""Per-algorithm kernel benchmark suite — the ``_single_timing`` host-wrapper
+analog (``/root/reference/algorithms/_inverse_dynamics.py:499-511`` prints
+"Single Call ID %fus"; every algorithm file has the same harness).
+
+Prints one JSON line per (algorithm, batch) with the single-call latency in
+microseconds and throughput in calls/s, for both the fused Pallas tier and
+the XLA tier. Run on the TPU:
+
+    python benchmarks/suite.py [robot] [--batch B] [--algos a,b,c]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("robot", nargs="?", default="iiwa")
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--algos", type=str, default=None,
+                    help="comma-separated subset (default: all)")
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--no-pallas", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gridcodegenerator_tpu.api import GRiD
+    from gridcodegenerator_tpu.utils.timing import time_kernel
+
+    B = args.batch
+    rng = np.random.default_rng(0)
+
+    def bench(tier, use_pallas):
+        g = GRiD(args.robot, dtype=jnp.float32, use_pallas=use_pallas,
+                 block_b=min(256, B))
+        n, npos = g.num_vel, g.num_pos
+        q = jnp.asarray(rng.uniform(-1, 1, (B, npos)), jnp.float32)
+        qd, u = (jnp.asarray(rng.uniform(-1, 1, (B, n)), jnp.float32)
+                 for _ in range(2))
+        algos = {
+            "id": (g.id, (q, qd, u)),
+            "minv": (g.minv, (q,)),
+            "fd": (g.fd, (q, qd, u)),
+            "aba": (g.aba, (q, qd, u)),
+            "crba": (g.crba, (q,)),
+            "id_du": (g.id_du, (q, qd, u)),
+            "fd_du": (g.fd_du, (q, qd, u)),
+            "idsva_so": (g.idsva_so, (q, qd, u)),
+            "fdsva_so": (g.fdsva_so, (q, qd, u)),
+            "eepos": (g.eepos, (q,)),
+            "deepos": (g.deepos, (q,)),
+            "d2eepos": (g.d2eepos, (q,)),
+        }
+        wanted = (args.algos.split(",") if args.algos else list(algos))
+        for name in wanted:
+            fn, a = algos[name]
+            try:
+                sec = time_kernel(lambda *xs: fn(*xs), a, iters=args.iters)
+            except Exception as e:  # noqa: BLE001 — report and continue
+                print(json.dumps({"algo": name, "tier": tier,
+                                  "error": str(e)[:200]}), flush=True)
+                continue
+            print(json.dumps({
+                "algo": name, "tier": tier, "robot": args.robot, "batch": B,
+                "us_per_call": round(sec * 1e6, 2),
+                "us_per_sample": round(sec * 1e6 / B, 4),
+                "calls_per_s": round(1.0 / sec, 1),
+            }), flush=True)
+
+    backend = jax.default_backend()
+    print(json.dumps({"backend": backend, "device": str(jax.devices()[0])}),
+          flush=True)
+    if not args.no_pallas and backend != "cpu":
+        bench("pallas", True)
+    bench("xla", False)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

@@ -132,9 +132,9 @@ class GRiD:
             cache[name] = jax.jit(builder())
         return cache[name]
 
-    def _run(self, xla_fn, pallas_name, pallas_builder, args):
+    def _run(self, xla_fn, pallas_name, pallas_builder, args, block=None):
         B = args[0].shape[-1]
-        if self.use_pallas and B % self.block_b == 0:
+        if self.use_pallas and B % (block or self.block_b) == 0:
             return self._pallas(pallas_name, pallas_builder)(*args)
         return xla_fn(*args)
 
@@ -294,7 +294,11 @@ class GRiD:
         qdk, _ = self._in(qd, self.num_vel)
         qddk = (jnp.zeros_like(qdk) if qdd is None
                 else self._in(qdd, self.num_vel)[0])
-        return self._out(self._idsva_so(qk, qdk, qddk), ub)
+        out = self._run(self._idsva_so, "idsva_so",
+                        lambda: _pk.idsva_so_pallas(self.model, self.gravity),
+                        (qk, qdk, qddk),
+                        block=_pk.so_block_b(self.model))
+        return self._out(out, ub)
 
     def fdsva_so(self, q, qd, u):
         """Second-order FD tensors [d2qdd/dq2, d2qdd/dqd2, cross, dMinv/dq]:
@@ -302,22 +306,35 @@ class GRiD:
         qk, ub = self._in(q, self.num_pos)
         qdk, _ = self._in(qd, self.num_vel)
         uk, _ = self._in(u, self.num_vel)
-        return self._out(self._fdsva_so(qk, qdk, uk), ub)
+        out = self._run(self._fdsva_so, "fdsva_so",
+                        lambda: _pk.fdsva_so_pallas(self.model, self.gravity),
+                        (qk, qdk, uk),
+                        block=_pk.so_block_b(self.model))
+        return self._out(out, ub)
 
     def eepos(self, q):
         """End-effector poses [xyz, rpy] per EE: (B, 6*num_ees)."""
         qk, ub = self._in(q, self.num_pos)
-        return self._out(self._eepos(qk), ub)
+        out = self._run(self._eepos, "eepos",
+                        lambda: _pk.eepos_pallas(
+                            self.model, block_b=self.block_b), (qk,))
+        return self._out(out, ub)
 
     def deepos(self, q):
         """EE pose Jacobians: (B, 6*num_ees, num_pos)."""
         qk, ub = self._in(q, self.num_pos)
-        return self._out(self._deepos(qk), ub)
+        out = self._run(self._deepos, "deepos",
+                        lambda: _pk.deepos_pallas(
+                            self.model, block_b=self.block_b), (qk,))
+        return self._out(out, ub)
 
     def d2eepos(self, q):
         """EE pose Hessians: (B, 6*num_ees, num_pos, num_pos)."""
         qk, ub = self._in(q, self.num_pos)
-        return self._out(self._d2eepos(qk), ub)
+        out = self._run(self._d2eepos, "d2eepos",
+                        lambda: _pk.d2eepos_pallas(self.model),
+                        (qk,), block=_pk.so_block_b(self.model))
+        return self._out(out, ub)
 
     # -- packed-input convenience (gridData q_qd_u layout parity) ---------
     def fd_du_packed(self, q_qd_u):

@@ -21,8 +21,10 @@ import jax.numpy as jnp
 from ...models.model import RobotModel
 from .. import aba as _aba
 from .. import crba as _crba
+from .. import eepose as _eepose
 from .. import fd as _fd
 from .. import fd_grad as _fd_grad
+from .. import so as _so
 from .. import id_grad as _id_grad
 from .. import minv as _minv
 from .. import rnea as _rnea
@@ -146,3 +148,121 @@ def fd_du_pallas(model: RobotModel, gravity: float,
     return fuse_batched(fn, [(n,)] * 3, outs, consts=consts,
                         dtype=model.Imat.dtype, block_b=block_b,
                         interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# second-order tensor kernels (IDSVA-SO / FDSVA-SO analogs)
+# ---------------------------------------------------------------------------
+# The n^3 outputs are the Pallas analog of the reference's
+# global-memory-resident second-order results (``_idsva_so.py:1003-1005``
+# spills to global memory above SHARED_MEMORY_JOINT_THRESHOLD=10 joints):
+# the batch tile is kept small so the 4*(nv,nv,nv) tensors + jacfwd seeds fit
+# VMEM; larger robots lower the tile further.
+
+SO_BLOCK_B = 128  # Mosaic lane tiling requires batch tiles divisible by 128
+SO_VMEM_LIMIT = 96 * 2 ** 20  # n^3 outputs need more than the 16M default
+
+
+def so_block_b(model: RobotModel, block_b: Optional[int] = None) -> int:
+    """Default second-order batch tile (the reference's MEMORY_THRESHOLD
+    analog, ``_fdsva_so.py:1``: n^3 outputs + jacfwd seeds must fit VMEM, so
+    the tile stays at the 128-lane minimum rather than DEFAULT_BLOCK_B)."""
+    return SO_BLOCK_B if block_b is None else block_b
+
+
+def idsva_so_pallas(model: RobotModel, gravity: float,
+                    block_b: Optional[int] = None, interpret: bool = False):
+    """Fused second-order ID: (q, qd, qdd) (n,B) -> (4, nv, nv, nv, B)."""
+    _check(model)
+    n, nv = model.n, model.num_vel
+    bb = so_block_b(model, block_b)
+    # interpret mode keeps the compact jacfwd body (same math, tractable to
+    # interpret); Mosaic gets the unrolled variant (no vmap'd seed axis)
+    body = _so.idsva_so if interpret else _so.idsva_so_unrolled
+    fn, consts = _bind(model, lambda m, q, qd, qdd: body(
+        m, q, qd, qdd, gravity))
+    return fuse_batched(fn, [(n,)] * 3, [(4, nv, nv, nv)], consts=consts,
+                        dtype=model.Imat.dtype, block_b=bb,
+                        interpret=interpret, vmem_limit_bytes=SO_VMEM_LIMIT)
+
+
+def fdsva_so_pallas(model: RobotModel, gravity: float,
+                    block_b: Optional[int] = None, interpret: bool = False):
+    """Fused second-order FD: (q, qd, u) (n,B) -> (4, nv, nv, nv, B)."""
+    _check(model)
+    n, nv = model.n, model.num_vel
+    bb = so_block_b(model, block_b)
+    body = _so.fdsva_so if interpret else _so.fdsva_so_unrolled
+    fn, consts = _bind(model, lambda m, q, qd, u: body(
+        m, q, qd, u, gravity))
+    return fuse_batched(fn, [(n,)] * 3, [(4, nv, nv, nv)], consts=consts,
+                        dtype=model.Imat.dtype, block_b=bb,
+                        interpret=interpret, vmem_limit_bytes=SO_VMEM_LIMIT)
+
+
+# ---------------------------------------------------------------------------
+# end-effector pose / gradient / Hessian kernels
+# ---------------------------------------------------------------------------
+
+def _bind_fk(model: RobotModel, algo):
+    """Like ``_bind`` but also threads the FK homogeneous-transform constants
+    (``Ttree``/``Tfixed`` ≙ the reference's XmatsHom block of ``d_XImats``,
+    ``_topology_helpers.py:333-504``)."""
+    has_fixed = model.Tfixed.shape[0] > 0
+    consts = [model.Xtree, model.Imat, model.damping, model.subtree_mask,
+              model.Ttree]
+    if has_fixed:
+        consts.append(model.Tfixed)
+
+    def fn(Xtree, Imat, damping, subtree_mask, Ttree, *rest):
+        repl = dict(Xtree=Xtree, Imat=Imat, damping=damping,
+                    subtree_mask=subtree_mask, Ttree=Ttree)
+        if has_fixed:
+            repl["Tfixed"] = rest[0]
+            ins = rest[1:]
+        else:
+            ins = rest
+        return algo(dataclasses.replace(model, **repl), *ins)
+
+    return fn, tuple(consts)
+
+
+def eepos_pallas(model: RobotModel, targets=None,
+                 block_b: int = DEFAULT_BLOCK_B, interpret: bool = False):
+    """Fused EE pose: q (num_pos,B) -> (6*num_ees, B)."""
+    _check(model)
+    ne = _eepose.num_ees(model, targets)
+    fn, consts = _bind_fk(model, lambda m, q: _eepose.eepos(
+        m, q, targets, poly_atan2=True))
+    return fuse_batched(fn, [(model.num_pos,)], [(6 * ne,)], consts=consts,
+                        dtype=model.Ttree.dtype, block_b=block_b,
+                        interpret=interpret)
+
+
+def deepos_pallas(model: RobotModel, targets=None,
+                  block_b: int = DEFAULT_BLOCK_B, interpret: bool = False):
+    """Fused EE pose Jacobian: q (num_pos,B) -> (6*num_ees, num_pos, B)."""
+    _check(model)
+    ne = _eepose.num_ees(model, targets)
+    npos = model.num_pos
+    body = (_eepose.deepos if interpret else _eepose.deepos_unrolled)
+    fn, consts = _bind_fk(
+        model, lambda m, q: body(m, q, targets, poly_atan2=True))
+    return fuse_batched(fn, [(npos,)], [(6 * ne, npos)], consts=consts,
+                        dtype=model.Ttree.dtype, block_b=block_b,
+                        interpret=interpret)
+
+
+def d2eepos_pallas(model: RobotModel, targets=None,
+                   block_b: Optional[int] = None, interpret: bool = False):
+    """Fused EE pose Hessian: q (num_pos,B) -> (6*num_ees, num_pos, num_pos, B)."""
+    _check(model)
+    ne = _eepose.num_ees(model, targets)
+    npos = model.num_pos
+    bb = so_block_b(model, block_b)
+    body = (_eepose.d2eepos if interpret else _eepose.d2eepos_unrolled)
+    fn, consts = _bind_fk(
+        model, lambda m, q: body(m, q, targets, poly_atan2=True))
+    return fuse_batched(fn, [(npos,)], [(6 * ne, npos, npos)], consts=consts,
+                        dtype=model.Ttree.dtype, block_b=bb,
+                        interpret=interpret, vmem_limit_bytes=SO_VMEM_LIMIT)

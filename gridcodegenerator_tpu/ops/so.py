@@ -107,3 +107,49 @@ def fdsva_so(
         return jnp.stack([d2q, d2qd, cross, dMinv])
 
     return jax.vmap(one, in_axes=-1, out_axes=-1)(q, qd, u)
+
+
+# ---------------------------------------------------------------------------
+# Mosaic-lowerable unrolled variants (bound by the fused Pallas kernels)
+# ---------------------------------------------------------------------------
+
+def idsva_so_unrolled(
+    model: RobotModel,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    qdd: Optional[jnp.ndarray] = None,
+    GRAVITY: float = DEFAULT_GRAVITY,
+) -> jnp.ndarray:
+    """``idsva_so`` with the jacfwd seed axis unrolled at trace time
+    (identical math/layout; see ``ops.seedjac``)."""
+    from .seedjac import seed_jac
+
+    nv = model.num_vel
+    qdd0 = jnp.zeros_like(qd) if qdd is None else qdd
+    Jq = seed_jac(lambda a: id_grad(model, a, qd, qdd0, GRAVITY), q)
+    Jqd = seed_jac(lambda b: id_grad(model, q, b, qdd0, GRAVITY), qd)
+    d2q = Jq[:, :nv]        # (nv, nv, nv, B)
+    cross = Jq[:, nv:]      # d2tau_i / dqd_j dq_k
+    d2qd = Jqd[:, nv:]
+    dM = seed_jac(lambda a: crba(model, a), q)
+    return jnp.stack([d2q, d2qd, cross, dM])
+
+
+def fdsva_so_unrolled(
+    model: RobotModel,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    u: jnp.ndarray,
+    GRAVITY: float = DEFAULT_GRAVITY,
+) -> jnp.ndarray:
+    """``fdsva_so`` with the jacfwd seed axis unrolled at trace time."""
+    from .seedjac import seed_jac
+
+    nv = model.num_vel
+    Jq = seed_jac(lambda a: fd_grad(model, a, qd, u, GRAVITY), q)
+    Jqd = seed_jac(lambda b: fd_grad(model, q, b, u, GRAVITY), qd)
+    d2q = Jq[:, :nv]
+    cross = Jq[:, nv:]
+    d2qd = Jqd[:, nv:]
+    dMinv = seed_jac(lambda a: minv(model, a, True), q)
+    return jnp.stack([d2q, d2qd, cross, dMinv])

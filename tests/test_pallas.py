@@ -94,3 +94,92 @@ def test_floating_base_rejected():
     model = build_model(topo, dtype=jnp.float64)
     with pytest.raises(NotImplementedError):
         pk.rnea_pallas(model, -9.81)
+
+
+def test_second_order_pallas():
+    """IDSVA-SO / FDSVA-SO fused kernels match the XLA path (pendulum2 —
+    CPU-compile-sized; the iiwa kernels are verified bit-exact on TPU)."""
+    from gridcodegenerator_tpu.ops import so as _so
+
+    model = build_model(load_robot("pendulum2"), dtype=jnp.float64)
+    rng = np.random.default_rng(6)
+    q, qd, u = (jnp.asarray(rng.uniform(-1, 1, (model.n, 8)))
+                for _ in range(3))
+    out_p = pk.idsva_so_pallas(model, -9.81, block_b=8,
+                               interpret=True)(q, qd, u)
+    out_x = jax.jit(lambda *a: _so.idsva_so(model, *a))(q, qd, u)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=1e-12)
+    out_p = pk.fdsva_so_pallas(model, -9.81, block_b=8,
+                               interpret=True)(q, qd, u)
+    out_x = jax.jit(lambda *a: _so.fdsva_so(model, *a))(q, qd, u)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=1e-12)
+
+
+def test_unrolled_variants_match_jacfwd():
+    """The Mosaic-lowerable seed-unrolled bodies equal the jacfwd bodies
+    (pendulum2; same math, different batching of the seed axis)."""
+    from gridcodegenerator_tpu.ops import eepose as _eepose
+    from gridcodegenerator_tpu.ops import so as _so
+
+    model = build_model(load_robot("pendulum2"), dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    q, qd, u = (jnp.asarray(rng.uniform(-1, 1, (model.n, 4)))
+                for _ in range(3))
+    for a_fn, b_fn, args in [
+        (_so.idsva_so, _so.idsva_so_unrolled, (q, qd, u)),
+        (_so.fdsva_so, _so.fdsva_so_unrolled, (q, qd, u)),
+        (_eepose.deepos, _eepose.deepos_unrolled, (q,)),
+        (_eepose.d2eepos, _eepose.d2eepos_unrolled, (q,)),
+    ]:
+        A = jax.jit(lambda *x, _f=a_fn: _f(model, *x))(*args)
+        B_ = jax.jit(lambda *x, _f=b_fn: _f(model, *x))(*args)
+        np.testing.assert_allclose(np.asarray(A), np.asarray(B_), atol=1e-12)
+
+
+def test_eepose_pallas(setup):
+    """EE pose / Jacobian / Hessian fused kernels match the XLA path.
+
+    The fused kernels use the polynomial atan2 (Mosaic has no atan lowering),
+    so the fusion-parity comparison is against the same-math XLA call; a
+    separate poly-vs-exact accuracy bound covers the substitution.
+    """
+    from gridcodegenerator_tpu.ops import eepose as _eepose
+
+    model, arrs = setup
+    q = arrs[0][:, :16]
+    for build, ref in [
+        (pk.eepos_pallas(model, block_b=16, interpret=True),
+         lambda m, qq: _eepose.eepos(m, qq, poly_atan2=True)),
+        (pk.deepos_pallas(model, block_b=16, interpret=True),
+         lambda m, qq: _eepose.deepos(m, qq, poly_atan2=True)),
+        (pk.d2eepos_pallas(model, block_b=16, interpret=True),
+         lambda m, qq: _eepose.d2eepos(m, qq, poly_atan2=True)),
+    ]:
+        out_p = build(q)
+        out_x = jax.jit(lambda qq, _r=ref: _r(model, qq))(q)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                                   atol=1e-12)
+    # poly-atan2 accuracy vs the exact pose path
+    exact = jax.jit(lambda qq: _eepose.eepos(model, qq))(q)
+    poly = jax.jit(lambda qq: _eepose.eepos(model, qq, poly_atan2=True))(q)
+    np.testing.assert_allclose(np.asarray(poly), np.asarray(exact), atol=2e-8)
+
+
+def test_eepose_pallas_branched_fixed_targets():
+    """Branched robot with fixed-joint EE frames through the fused FK path."""
+    from gridcodegenerator_tpu.ops import eepose as _eepose
+
+    topo = load_robot("hyq")
+    model = build_model(topo, dtype=jnp.float64)
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.uniform(-1, 1, (model.num_pos, 16)))
+    out_p = pk.eepos_pallas(model, block_b=16, interpret=True)(q)
+    out_x = jax.jit(lambda qq: _eepose.eepos(model, qq, poly_atan2=True))(q)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=1e-12)
+    # and against the exact-atan2 path within the poly accuracy bound
+    exact = jax.jit(lambda qq: _eepose.eepos(model, qq))(q)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(exact),
+                               atol=2e-8)
