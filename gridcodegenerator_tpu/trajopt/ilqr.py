@@ -52,6 +52,9 @@ class ILQRConfig:
     gravity: float = DEFAULT_GRAVITY
     u_min: float = None           # control box bounds (projected rollouts)
     u_max: float = None
+    use_pallas: bool = None       # fused kernels in the hot loops (None =
+                                  # auto: TPU backend + fixed-base robot)
+    pallas_block: int = 256       # fused-kernel batch tile
 
     def clamp(self, u):
         if self.u_min is None and self.u_max is None:
@@ -88,10 +91,33 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
     N, dt = cfg.N, cfg.dt
     na = len(cfg.alphas)
 
+    # fused Pallas kernels for the two hot loops (linearization + rollouts);
+    # calls fall back to the XLA builders whenever the lane count is not a
+    # multiple of the tile (e.g. the CPU-mesh dry run's tiny shapes)
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and not model.floating_base)
+    blk = cfg.pallas_block
+    fused_fd_du = fused_aba = None
+    if use_pallas and not model.floating_base:
+        from ..ops.pallas import kernels as _pk
+        fused_fd_du = _pk.fd_du_pallas(model, cfg.gravity, block_b=blk,
+                                       with_extras=True)
+        fused_aba = _pk.aba_pallas(model, cfg.gravity, block_b=blk)
+
+    def step(x, u):
+        """Semi-implicit Euler step, fused-ABA when the lanes tile."""
+        if fused_aba is not None and x.shape[-1] % blk == 0:
+            q, qd = x[:n], x[n:]
+            qd_new = qd + dt * fused_aba(q, qd, u)
+            return jnp.concatenate([q + dt * qd_new, qd_new], axis=0)
+        return dynamics_step(model, x, u, dt, cfg.gravity)
+
     # ------------------------------------------------------------------
     def rollout(x0, U):
         def body(x, u):
-            xn = dynamics_step(model, x, cfg.clamp(u), dt, cfg.gravity)
+            xn = step(x, cfg.clamp(u))
             return xn, xn
         _, Xs = jax.lax.scan(body, x0, U)
         return jnp.concatenate([x0[None], Xs], axis=0)  # (N+1, 2n, B)
@@ -109,8 +135,11 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
         q = jnp.moveaxis(X[:N, :n], 0, -1).reshape(n, N * B)
         qd = jnp.moveaxis(X[:N, n:], 0, -1).reshape(n, N * B)
         u = jnp.moveaxis(U, 0, -1).reshape(n, N * B)
-        df_du, _, Mi = _fd_grad.fd_grad(model, q, qd, u, cfg.gravity,
-                                        return_extras=True)
+        if fused_fd_du is not None and (N * B) % blk == 0:
+            df_du, _, Mi = fused_fd_du(q, qd, u)
+        else:
+            df_du, _, Mi = _fd_grad.fd_grad(model, q, qd, u, cfg.gravity,
+                                            return_extras=True)
         dfdq, dfdqd = df_du[:, :n], df_du[:, n:]
         I_n = jnp.eye(n, dtype=X.dtype)[:, :, None]
         A21 = dt * dfdq                         # dqd'/dq
@@ -199,7 +228,7 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
             x_ref, u_ref, k_t, K_t = inp
             du = alpha_w * widen(k_t) + bmv(widen(K_t), x - widen(x_ref))
             u = cfg.clamp(widen(u_ref) + du).astype(x.dtype)
-            xn = dynamics_step(model, x, u, dt, cfg.gravity)
+            xn = step(x, u)
             return xn, (xn, u)
 
         _, (Xw, Uw) = jax.lax.scan(body, widen(X[0]), (X[:N], U, ks, Ks))
