@@ -55,6 +55,9 @@ class ILQRConfig:
     use_pallas: bool = None       # fused kernels in the hot loops (None =
                                   # auto: TPU backend + fixed-base robot)
     pallas_block: int = 256       # fused-kernel batch tile
+    parallel_riccati: bool = False  # associative-scan backward sweep:
+                                  # depth N -> log2(N), ~2x FLOPs (see
+                                  # trajopt/priccati.py); first-order only
 
     def clamp(self, u):
         if self.u_min is None and self.u_max is None:
@@ -171,6 +174,25 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
         lxx = jnp.stack([jnp.broadcast_to(e[3], (nx, nx, B)) for e in exps])
         luu = jnp.stack([jnp.broadcast_to(e[4], (n, n, B)) for e in exps])
         lux = jnp.stack([e[5] for e in exps])
+
+        if cfg.parallel_riccati and not cfg.use_second_order:
+            from .priccati import suffix_value_functions
+            Vx_all, Vxx_all = suffix_value_functions(
+                Amat, Bmat, lx, lu, lxx, luu, lux, Vx0, Vxx0, reg=cfg.reg)
+
+            def gain_t(A, Bm, lu_t, luu_t, lux_t, Vx, Vxx):
+                Bt = jnp.swapaxes(Bm, 0, 1)
+                Qu = lu_t + bmv(Bt, Vx)
+                Qux = lux_t + bmm(bmm(Bt, Vxx), A)
+                Quu = luu_t + bmm(bmm(Bt, Vxx), Bm)
+                reg_eye = cfg.reg * jnp.eye(n, dtype=Quu.dtype)[:, :, None]
+                Quu_inv = gj_inverse(Quu + reg_eye)
+                return -bmv(Quu_inv, Qu), -bmm(Quu_inv, Qux)
+
+            ks, Ks = jax.vmap(gain_t, in_axes=0, out_axes=0)(
+                Amat, Bmat, lu, luu, lux, Vx_all[1:], Vxx_all[1:])
+            return ks, Ks
+
         scan_in = (Amat, Bmat, lx, lu, lxx, luu, lux) + (so_t or ())
 
         def body(carry, inp):

@@ -135,3 +135,32 @@ def test_scenario_mpc_virtual_mesh(pend):
     # consensus control must lie within the convex hull of per-scenario u0
     # (softmin weighting) — sanity: finite and bounded by max |u| over shards
     assert np.isfinite(np.asarray(u0)).all()
+
+
+def test_parallel_riccati_matches_sequential():
+    """Associative-scan backward sweep equals the sequential Riccati
+    recursion (reg=0 exact-LQR regime, f64)."""
+    import numpy as np
+
+    from gridcodegenerator_tpu.trajopt.ilqr import ILQRConfig, make_ilqr
+
+    model = build_model(load_robot("pendulum2"), dtype=jnp.float64)
+    n = model.n
+    xg = jnp.zeros(2 * n).at[0].set(0.7)
+    cost = QuadCost(Q=jnp.full(2 * n, 0.1), R=jnp.full(n, 1e-3),
+                    Qf=jnp.full(2 * n, 10.0), x_goal=xg)
+    rng = np.random.default_rng(0)
+    B, N = 4, 16
+    x0 = jnp.asarray(rng.uniform(-0.3, 0.3, (2 * n, B)))
+    U0 = jnp.asarray(rng.uniform(-0.1, 0.1, (N, n, B)))
+    seq = jax.jit(make_ilqr(model, cost,
+                            ILQRConfig(N=N, iters=4, reg=0.0)))(x0, U0)
+    par = jax.jit(make_ilqr(model, cost,
+                            ILQRConfig(N=N, iters=4, reg=0.0,
+                                       parallel_riccati=True)))(x0, U0)
+    np.testing.assert_allclose(np.asarray(seq.cost), np.asarray(par.cost),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(seq.U), np.asarray(par.U),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(seq.K), np.asarray(par.K),
+                               atol=1e-8)
