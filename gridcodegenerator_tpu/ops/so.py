@@ -88,6 +88,15 @@ def fdsva_so(
     """Second-order forward dynamics: (4, nv, nv, nv, B) stacked tensors
     [d2qdd/dq2, d2qdd/dqd2, d2qdd/dqd dq, d2qdd/dtau dq] — the reference
     FDSVA-SO output set (``_fdsva_so.py:52-83``)."""
+    # On TPU backends the vmap'd-jacfwd form of THIS tensor (jvp through
+    # minv/fd_grad) lowers to something numerically unreliable in f32:
+    # isolated samples come out orders of magnitude off (max err ~1.6e3 vs
+    # an f64 oracle where the seed-unrolled form errs ~6; CPU f32 is fine
+    # both ways, so it is a TPU lowering artifact, not conditioning). The
+    # unrolled form is also what the fused Pallas kernel runs, so TPU gets
+    # it on the XLA path too.
+    if jax.default_backend() == "tpu":
+        return fdsva_so_unrolled(model, q, qd, u, GRAVITY)
     nv = model.num_vel
 
     def df_du_sample(qs, qds, us):

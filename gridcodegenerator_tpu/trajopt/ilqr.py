@@ -102,12 +102,16 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
         use_pallas = (jax.default_backend() == "tpu"
                       and not model.floating_base)
     blk = cfg.pallas_block
-    fused_fd_du = fused_aba = None
+    fused_fd_du = fused_aba = fused_so = None
+    so_blk = None
     if use_pallas and not model.floating_base:
         from ..ops.pallas import kernels as _pk
         fused_fd_du = _pk.fd_du_pallas(model, cfg.gravity, block_b=blk,
                                        with_extras=True)
         fused_aba = _pk.aba_pallas(model, cfg.gravity, block_b=blk)
+        if cfg.use_second_order:
+            so_blk = _pk.so_block_b(model)
+            fused_so = _pk.fdsva_so_pallas(model, cfg.gravity)
 
     def step(x, u):
         """Semi-implicit Euler step, fused-ABA when the lanes tile."""
@@ -279,7 +283,10 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
             so_t = None
             if cfg.use_second_order:
                 B = X.shape[-1]
-                so_flat = _so.fdsva_so(model, qf, qdf, uf, cfg.gravity)
+                if fused_so is not None and qf.shape[-1] % so_blk == 0:
+                    so_flat = fused_so(qf, qdf, uf)
+                else:
+                    so_flat = _so.fdsva_so(model, qf, qdf, uf, cfg.gravity)
                 so_t = tuple(
                     jnp.moveaxis(so_flat[i].reshape(n, n, n, N, B), 3, 0)
                     for i in range(4))
