@@ -88,10 +88,15 @@ class GRiD:
         floating_base: bool = False,
         use_pallas: Optional[bool] = None,
         block_b: int = 256,
+        ee_targets: Optional[Sequence[str]] = None,
     ):
         """``use_pallas``: run the fused single-kernel tier (default: auto —
         on for fixed-base robots on TPU backends, off elsewhere). Batches not
-        divisible by ``block_b`` fall back to the XLA path for that call."""
+        divisible by ``block_b`` fall back to the XLA path for that call.
+
+        ``ee_targets``: fixed-joint frame names to treat as end effectors
+        (the reference's ``fixed_target_name`` mechanism, incl. passing every
+        fixed joint — the default when the robot has fixed joints)."""
         self.topology = init_robot(robot, floating_base=floating_base)
         self.model: RobotModel = build_model(self.topology, dtype=dtype)
         self.dtype = dtype
@@ -99,12 +104,14 @@ class GRiD:
         self.n = self.model.n
         self.num_pos = self.model.num_pos
         self.num_vel = self.model.num_vel
-        self.num_ees = _eepose.num_ees(self.model)
+        self.ee_targets = tuple(ee_targets) if ee_targets is not None else None
+        self.num_ees = _eepose.num_ees(self.model, self.ee_targets)
         if use_pallas is None:
             use_pallas = (not self.model.floating_base
                           and jax.default_backend() == "tpu")
         self.use_pallas = bool(use_pallas) and not self.model.floating_base
-        self.block_b = block_b
+        self.block_b = (block_b if block_b != 256
+                        else _pk.default_block_b(self.model))
 
     # ------------------------------------------------------------------
     # layout shims: user (B, dim) <-> kernel (dim, B)
@@ -132,9 +139,10 @@ class GRiD:
             cache[name] = jax.jit(builder())
         return cache[name]
 
-    def _run(self, xla_fn, pallas_name, pallas_builder, args, block=None):
+    def _run(self, xla_fn, pallas_name, pallas_builder, args, block=None,
+             enabled=True):
         B = args[0].shape[-1]
-        if self.use_pallas and B % (block or self.block_b) == 0:
+        if enabled and self.use_pallas and B % (block or self.block_b) == 0:
             return self._pallas(pallas_name, pallas_builder)(*args)
         return xla_fn(*args)
 
@@ -195,15 +203,17 @@ class GRiD:
 
     @functools.cached_property
     def _eepos(self):
-        return jax.jit(lambda q: _eepose.eepos(self.model, q))
+        return jax.jit(lambda q: _eepose.eepos(self.model, q, self.ee_targets))
 
     @functools.cached_property
     def _deepos(self):
-        return jax.jit(lambda q: _eepose.deepos(self.model, q))
+        return jax.jit(lambda q: _eepose.deepos(
+            self.model, q, self.ee_targets))
 
     @functools.cached_property
     def _d2eepos(self):
-        return jax.jit(lambda q: _eepose.d2eepos(self.model, q))
+        return jax.jit(lambda q: _eepose.d2eepos(
+            self.model, q, self.ee_targets))
 
     # ------------------------------------------------------------------
     # host tier
@@ -297,7 +307,8 @@ class GRiD:
         out = self._run(self._idsva_so, "idsva_so",
                         lambda: _pk.idsva_so_pallas(self.model, self.gravity),
                         (qk, qdk, qddk),
-                        block=_pk.so_block_b(self.model))
+                        block=_pk.so_block_b(self.model),
+                        enabled=_pk.so_fits(self.model))
         return self._out(out, ub)
 
     def fdsva_so(self, q, qd, u):
@@ -309,7 +320,8 @@ class GRiD:
         out = self._run(self._fdsva_so, "fdsva_so",
                         lambda: _pk.fdsva_so_pallas(self.model, self.gravity),
                         (qk, qdk, uk),
-                        block=_pk.so_block_b(self.model))
+                        block=_pk.so_block_b(self.model),
+                        enabled=_pk.so_fits(self.model))
         return self._out(out, ub)
 
     def eepos(self, q):
@@ -317,7 +329,8 @@ class GRiD:
         qk, ub = self._in(q, self.num_pos)
         out = self._run(self._eepos, "eepos",
                         lambda: _pk.eepos_pallas(
-                            self.model, block_b=self.block_b), (qk,))
+                            self.model, self.ee_targets,
+                            block_b=self.block_b), (qk,))
         return self._out(out, ub)
 
     def deepos(self, q):
@@ -325,14 +338,16 @@ class GRiD:
         qk, ub = self._in(q, self.num_pos)
         out = self._run(self._deepos, "deepos",
                         lambda: _pk.deepos_pallas(
-                            self.model, block_b=self.block_b), (qk,))
+                            self.model, self.ee_targets,
+                            block_b=self.block_b), (qk,))
         return self._out(out, ub)
 
     def d2eepos(self, q):
         """EE pose Hessians: (B, 6*num_ees, num_pos, num_pos)."""
         qk, ub = self._in(q, self.num_pos)
         out = self._run(self._d2eepos, "d2eepos",
-                        lambda: _pk.d2eepos_pallas(self.model),
+                        lambda: _pk.d2eepos_pallas(self.model,
+                                                   self.ee_targets),
                         (qk,), block=_pk.so_block_b(self.model))
         return self._out(out, ub)
 

@@ -37,6 +37,19 @@ def _check(model: RobotModel):
             "fused Pallas kernels are fixed-base; floating robots use the XLA path")
 
 
+def default_block_b(model: RobotModel,
+                    block_b: Optional[int] = None) -> int:
+    """n-aware batch tile: high-DoF robots halve the tile so per-lane
+    scratch fits VMEM — the analog of the reference forcing dynamic shared
+    memory above 12 DoF (``GRiDCodeGenerator.py:61``)."""
+    if block_b is not None:
+        return block_b
+    return DEFAULT_BLOCK_B if model.n <= 12 else DEFAULT_BLOCK_B // 2
+
+
+VMEM_LIMIT = 100 * 2 ** 20  # scoped VMEM budget for all fused kernels
+
+
 def _bind(model: RobotModel, algo):
     """Close ``algo(model, *ins)`` over a model whose constant arrays arrive
     as kernel inputs (Pallas cannot capture array constants)."""
@@ -51,10 +64,11 @@ def _bind(model: RobotModel, algo):
 
 
 def rnea_pallas(model: RobotModel, gravity: float, with_qdd: bool = True,
-                block_b: int = DEFAULT_BLOCK_B, interpret: bool = False):
+                block_b: Optional[int] = None, interpret: bool = False):
     """Fused RNEA: (q, qd[, qdd]) (n,B) -> c (n,B)."""
     _check(model)
     n = model.n
+    block_b = default_block_b(model, block_b)
     if with_qdd:
         fn, consts = _bind(model, lambda m, q, qd, qdd: _rnea.rnea(
             m, q, qd, qdd, gravity))
@@ -65,69 +79,80 @@ def rnea_pallas(model: RobotModel, gravity: float, with_qdd: bool = True,
         ins = [(n,), (n,)]
     return fuse_batched(fn, ins, [(n,)], consts=consts,
                         dtype=model.Imat.dtype, block_b=block_b,
-                        interpret=interpret)
+                        interpret=interpret,
+                        vmem_limit_bytes=VMEM_LIMIT)
 
 
 def minv_pallas(model: RobotModel, dense: bool = True,
-                block_b: int = DEFAULT_BLOCK_B, interpret: bool = False):
+                block_b: Optional[int] = None, interpret: bool = False):
     """Fused direct-Minv: q (n,B) -> Minv (n,n,B)."""
     _check(model)
     n = model.n
+    block_b = default_block_b(model, block_b)
     fn, consts = _bind(model, lambda m, q: _minv.minv(m, q, dense))
     return fuse_batched(fn, [(n,)], [(n, n)], consts=consts,
                         dtype=model.Imat.dtype, block_b=block_b,
-                        interpret=interpret)
+                        interpret=interpret,
+                        vmem_limit_bytes=VMEM_LIMIT)
 
 
-def crba_pallas(model: RobotModel, block_b: int = DEFAULT_BLOCK_B,
+def crba_pallas(model: RobotModel, block_b: Optional[int] = None,
                 interpret: bool = False):
     """Fused CRBA: q (n,B) -> M (n,n,B)."""
     _check(model)
     n = model.n
+    block_b = default_block_b(model, block_b)
     fn, consts = _bind(model, lambda m, q: _crba.crba(m, q))
     return fuse_batched(fn, [(n,)], [(n, n)], consts=consts,
                         dtype=model.Imat.dtype, block_b=block_b,
-                        interpret=interpret)
+                        interpret=interpret,
+                        vmem_limit_bytes=VMEM_LIMIT)
 
 
 def fd_pallas(model: RobotModel, gravity: float,
-              block_b: int = DEFAULT_BLOCK_B, interpret: bool = False):
+              block_b: Optional[int] = None, interpret: bool = False):
     """Fused forward dynamics (Minv route): (q, qd, u) -> qdd (n,B)."""
     _check(model)
     n = model.n
+    block_b = default_block_b(model, block_b)
     fn, consts = _bind(model, lambda m, q, qd, u: _fd.forward_dynamics(
         m, q, qd, u, gravity))
     return fuse_batched(fn, [(n,)] * 3, [(n,)], consts=consts,
                         dtype=model.Imat.dtype, block_b=block_b,
-                        interpret=interpret)
+                        interpret=interpret,
+                        vmem_limit_bytes=VMEM_LIMIT)
 
 
 def aba_pallas(model: RobotModel, gravity: float,
-               block_b: int = DEFAULT_BLOCK_B, interpret: bool = False):
+               block_b: Optional[int] = None, interpret: bool = False):
     """Fused ABA forward dynamics: (q, qd, u) -> qdd (n,B)."""
     _check(model)
     n = model.n
+    block_b = default_block_b(model, block_b)
     fn, consts = _bind(model, lambda m, q, qd, u: _aba.aba(
         m, q, qd, u, gravity))
     return fuse_batched(fn, [(n,)] * 3, [(n,)], consts=consts,
                         dtype=model.Imat.dtype, block_b=block_b,
-                        interpret=interpret)
+                        interpret=interpret,
+                        vmem_limit_bytes=VMEM_LIMIT)
 
 
 def id_du_pallas(model: RobotModel, gravity: float,
-                 block_b: int = DEFAULT_BLOCK_B, interpret: bool = False):
+                 block_b: Optional[int] = None, interpret: bool = False):
     """Fused analytical ID gradient: (q, qd, qdd) -> dc_du (n, 2n, B)."""
     _check(model)
     n = model.n
+    block_b = default_block_b(model, block_b)
     fn, consts = _bind(model, lambda m, q, qd, qdd: _id_grad.id_grad(
         m, q, qd, qdd, gravity))
     return fuse_batched(fn, [(n,)] * 3, [(n, 2 * n)], consts=consts,
                         dtype=model.Imat.dtype, block_b=block_b,
-                        interpret=interpret)
+                        interpret=interpret,
+                        vmem_limit_bytes=VMEM_LIMIT)
 
 
 def fd_du_pallas(model: RobotModel, gravity: float,
-                 block_b: int = DEFAULT_BLOCK_B, interpret: bool = False,
+                 block_b: Optional[int] = None, interpret: bool = False,
                  with_extras: bool = False):
     """Fused analytical FD gradient: (q, qd, u) -> df_du (n, 2n, B).
 
@@ -137,6 +162,7 @@ def fd_du_pallas(model: RobotModel, gravity: float,
     """
     _check(model)
     n = model.n
+    block_b = default_block_b(model, block_b)
     if with_extras:
         fn, consts = _bind(model, lambda m, q, qd, u: _fd_grad.fd_grad(
             m, q, qd, u, gravity, return_extras=True))
@@ -147,7 +173,8 @@ def fd_du_pallas(model: RobotModel, gravity: float,
         outs = [(n, 2 * n)]
     return fuse_batched(fn, [(n,)] * 3, outs, consts=consts,
                         dtype=model.Imat.dtype, block_b=block_b,
-                        interpret=interpret)
+                        interpret=interpret,
+                        vmem_limit_bytes=VMEM_LIMIT)
 
 
 # ---------------------------------------------------------------------------
@@ -160,7 +187,15 @@ def fd_du_pallas(model: RobotModel, gravity: float,
 # VMEM; larger robots lower the tile further.
 
 SO_BLOCK_B = 128  # Mosaic lane tiling requires batch tiles divisible by 128
-SO_VMEM_LIMIT = 96 * 2 ** 20  # n^3 outputs need more than the 16M default
+SO_MAX_NV = 16    # above this the 4*(nv^3) outputs + seeds exceed VMEM even
+                  # at the minimum tile; the XLA path (HBM-managed, same
+                  # unrolled math on TPU) serves larger robots — the analog
+                  # of the reference's global-memory spill thresholds
+                  # (_idsva_so.py:1, _fdsva_so.py:1)
+
+
+def so_fits(model: RobotModel) -> bool:
+    return model.num_vel <= SO_MAX_NV
 
 
 def so_block_b(model: RobotModel, block_b: Optional[int] = None) -> int:
@@ -174,6 +209,10 @@ def idsva_so_pallas(model: RobotModel, gravity: float,
                     block_b: Optional[int] = None, interpret: bool = False):
     """Fused second-order ID: (q, qd, qdd) (n,B) -> (4, nv, nv, nv, B)."""
     _check(model)
+    if not so_fits(model):
+        raise NotImplementedError(
+            f"fused second-order kernels support num_vel <= {SO_MAX_NV}; "
+            "larger robots use the XLA path (HBM-resident outputs)")
     n, nv = model.n, model.num_vel
     bb = so_block_b(model, block_b)
     # interpret mode keeps the compact jacfwd body (same math, tractable to
@@ -183,13 +222,17 @@ def idsva_so_pallas(model: RobotModel, gravity: float,
         m, q, qd, qdd, gravity))
     return fuse_batched(fn, [(n,)] * 3, [(4, nv, nv, nv)], consts=consts,
                         dtype=model.Imat.dtype, block_b=bb,
-                        interpret=interpret, vmem_limit_bytes=SO_VMEM_LIMIT)
+                        interpret=interpret, vmem_limit_bytes=VMEM_LIMIT)
 
 
 def fdsva_so_pallas(model: RobotModel, gravity: float,
                     block_b: Optional[int] = None, interpret: bool = False):
     """Fused second-order FD: (q, qd, u) (n,B) -> (4, nv, nv, nv, B)."""
     _check(model)
+    if not so_fits(model):
+        raise NotImplementedError(
+            f"fused second-order kernels support num_vel <= {SO_MAX_NV}; "
+            "larger robots use the XLA path (HBM-resident outputs)")
     n, nv = model.n, model.num_vel
     bb = so_block_b(model, block_b)
     body = _so.fdsva_so if interpret else _so.fdsva_so_unrolled
@@ -197,7 +240,7 @@ def fdsva_so_pallas(model: RobotModel, gravity: float,
         m, q, qd, u, gravity))
     return fuse_batched(fn, [(n,)] * 3, [(4, nv, nv, nv)], consts=consts,
                         dtype=model.Imat.dtype, block_b=bb,
-                        interpret=interpret, vmem_limit_bytes=SO_VMEM_LIMIT)
+                        interpret=interpret, vmem_limit_bytes=VMEM_LIMIT)
 
 
 # ---------------------------------------------------------------------------
@@ -228,21 +271,24 @@ def _bind_fk(model: RobotModel, algo):
 
 
 def eepos_pallas(model: RobotModel, targets=None,
-                 block_b: int = DEFAULT_BLOCK_B, interpret: bool = False):
+                 block_b: Optional[int] = None, interpret: bool = False):
     """Fused EE pose: q (num_pos,B) -> (6*num_ees, B)."""
     _check(model)
+    block_b = default_block_b(model, block_b)
     ne = _eepose.num_ees(model, targets)
     fn, consts = _bind_fk(model, lambda m, q: _eepose.eepos(
         m, q, targets, poly_atan2=True))
     return fuse_batched(fn, [(model.num_pos,)], [(6 * ne,)], consts=consts,
                         dtype=model.Ttree.dtype, block_b=block_b,
-                        interpret=interpret)
+                        interpret=interpret,
+                        vmem_limit_bytes=VMEM_LIMIT)
 
 
 def deepos_pallas(model: RobotModel, targets=None,
-                  block_b: int = DEFAULT_BLOCK_B, interpret: bool = False):
+                  block_b: Optional[int] = None, interpret: bool = False):
     """Fused EE pose Jacobian: q (num_pos,B) -> (6*num_ees, num_pos, B)."""
     _check(model)
+    block_b = default_block_b(model, block_b)
     ne = _eepose.num_ees(model, targets)
     npos = model.num_pos
     body = (_eepose.deepos if interpret else _eepose.deepos_unrolled)
@@ -250,7 +296,8 @@ def deepos_pallas(model: RobotModel, targets=None,
         model, lambda m, q: body(m, q, targets, poly_atan2=True))
     return fuse_batched(fn, [(npos,)], [(6 * ne, npos)], consts=consts,
                         dtype=model.Ttree.dtype, block_b=block_b,
-                        interpret=interpret)
+                        interpret=interpret,
+                        vmem_limit_bytes=VMEM_LIMIT)
 
 
 def d2eepos_pallas(model: RobotModel, targets=None,
@@ -265,4 +312,4 @@ def d2eepos_pallas(model: RobotModel, targets=None,
         model, lambda m, q: body(m, q, targets, poly_atan2=True))
     return fuse_batched(fn, [(npos,)], [(6 * ne, npos, npos)], consts=consts,
                         dtype=model.Ttree.dtype, block_b=bb,
-                        interpret=interpret, vmem_limit_bytes=SO_VMEM_LIMIT)
+                        interpret=interpret, vmem_limit_bytes=VMEM_LIMIT)

@@ -159,3 +159,23 @@ def test_damping_affects_dynamics():
     c0 = np.asarray(jax.jit(rnea)(model0, j["q"], j["qd"], j["qdd"]))
     expected = 0.1 * d["qd"]  # zoo iiwa damping = 0.1 on every joint
     np.testing.assert_allclose(c1 - c0, expected, atol=1e-12)
+
+
+def test_api_ee_targets_subset():
+    """GRiD(ee_targets=[...]) selects named fixed-joint frames (the
+    reference's fixed_target_name mechanism)."""
+    from gridcodegenerator_tpu.api import GRiD
+
+    g_all = GRiD("hyq", dtype=jnp.float64)
+    g_two = GRiD("hyq", dtype=jnp.float64,
+                 ee_targets=["rf_foot_fixed", "lf_foot_fixed"])
+    assert g_all.num_ees == 4 and g_two.num_ees == 2
+    rng = np.random.default_rng(0)
+    q = rng.uniform(-1, 1, (5, g_all.num_pos))
+    p_all = np.asarray(g_all.eepos(q)).reshape(5, 4, 6)
+    p_two = np.asarray(g_two.eepos(q)).reshape(5, 2, 6)
+    # default order is fixed-joint order: lf, lh, rf, rh
+    np.testing.assert_allclose(p_two[:, 0], p_all[:, 2], atol=1e-12)
+    np.testing.assert_allclose(p_two[:, 1], p_all[:, 0], atol=1e-12)
+    J = np.asarray(g_two.deepos(q))
+    assert J.shape == (5, 12, g_two.num_pos)
