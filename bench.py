@@ -34,7 +34,7 @@ def main():
 
     model = build_model(load_robot("iiwa"), dtype=jnp.float32)
     n = model.n
-    N, ITERS, B = 64, 5, 1024
+    N, ITERS, B = 64, 5, 2048  # B=2048 saturates the chip (~6% over 1024)
 
     cfg = ILQRConfig(N=N, dt=0.01, iters=ITERS)
     xg = jnp.zeros(2 * n).at[0].set(1.0).at[1].set(0.5)

@@ -1,0 +1,371 @@
+"""Fused whole-sweep Pallas kernels for the trajectory optimizers.
+
+The iLQR hot loop is three sweeps over the horizon: the nominal rollout
+(sequential dynamics), the Riccati backward pass, and the line-search
+feedback rollout. On the XLA path each is a ``lax.scan`` whose per-knot body
+is a separate device dispatch — at MPC sizes the per-step launch/dispatch
+overhead (~60-100 us) dwarfs the per-knot compute, the same imbalance that
+makes the reference run ONE ``__global__`` kernel looping over all
+``NUM_TIMESTEPS`` knots instead of one launch per knot
+(``/root/reference/helpers/_code_generation_helpers.py:41-55``).
+
+These kernels run the ENTIRE sweep in a single Pallas kernel: the horizon
+loop is a ``fori_loop`` inside the kernel, per-knot blocks are loaded and
+stored with dynamic time indices on the VMEM refs (Mosaic lowers dynamic
+ref indexing, not value-level ``dynamic_slice``), the carry stays
+register/VMEM resident, and the problem-batch axis is tiled over the Pallas
+grid. Bodies reuse the same oracle-validated jnp builders as everything
+else (``ops/aba``, ``ops/linalg.gj_inverse``, lane-major ``bmm``/``bmv``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.model import RobotModel
+from .. import aba as _aba
+from ..linalg import gj_inverse
+from ..spatial import bmm, bmv
+from .kernels import VMEM_LIMIT, _check
+
+ROLLOUT_BLOCK_B = 256
+RICCATI_BLOCK_B = 128  # (N, nx, nx, bb) inputs: halve the tile for VMEM
+
+
+def _ld(ref, t):
+    """ref[t] for a (N, ...) VMEM ref with a traced time index."""
+    idx = (pl.ds(t, 1),) + (slice(None),) * (len(ref.shape) - 1)
+    return ref[idx][0]
+
+
+def _st(ref, t, v):
+    idx = (pl.ds(t, 1),) + (slice(None),) * (len(ref.shape) - 1)
+    ref[idx] = v[None]
+
+
+def _sweep_call(kernel_body, in_shapes: Sequence[Tuple[int, ...]],
+                out_shapes: Sequence[Tuple[int, ...]],
+                consts, dtype, block_b: int, interpret: bool):
+    """pallas_call wrapper passing INPUT/OUTPUT REFS (not values) to the
+    body so the horizon loop can index time dynamically. ``consts`` are
+    loaded to values. Tiling is along the trailing batch axis only."""
+    in_shapes = [tuple(s) for s in in_shapes]
+    out_shapes = [tuple(s) for s in out_shapes]
+    consts = tuple(consts)
+    n_const = len(consts)
+
+    def specs(shapes):
+        out = []
+        for shp in shapes:
+            nlead = len(shp)
+
+            def imap(i, _nlead=nlead):
+                return (0,) * _nlead + (i,)
+
+            out.append(pl.BlockSpec(tuple(shp) + (block_b,), imap,
+                                    memory_space=pltpu.VMEM))
+        return out
+
+    const_specs = []
+    for c in consts:
+        nd = c.ndim
+
+        def imap(i, _nd=nd):
+            return (0,) * _nd
+
+        const_specs.append(pl.BlockSpec(c.shape, imap,
+                                        memory_space=pltpu.VMEM))
+
+    def kernel(*refs):
+        cvals = [r[...] for r in refs[:n_const]]
+        in_refs = refs[n_const:n_const + len(in_shapes)]
+        out_refs = refs[n_const + len(in_shapes):]
+        kernel_body(cvals, in_refs, out_refs)
+
+    def call(*arrays):
+        B = arrays[0].shape[-1]
+        assert B % block_b == 0, (B, block_b)
+        out = pl.pallas_call(
+            kernel,
+            grid=(B // block_b,),
+            in_specs=const_specs + specs(in_shapes),
+            out_specs=tuple(specs(out_shapes)),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct(s + (B,), dtype) for s in out_shapes),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT),
+        )(*consts, *arrays)
+        return out if len(out_shapes) > 1 else out[0]
+
+    return call
+
+
+def _euler_step(m, x, u, dt, gravity):
+    """Semi-implicit Euler on lane-major x=[q;qd] (matches ilqr.dynamics_step)."""
+    n = m.num_vel
+    q, qd = x[:n], x[n:]
+    qd_new = qd + dt * _aba.aba(m, q, qd, u, gravity)
+    return jnp.concatenate([q + dt * qd_new, qd_new], axis=0)
+
+
+def _model_consts(model: RobotModel):
+    return (model.Xtree, model.Imat, model.damping, model.subtree_mask)
+
+
+def _rebind(model: RobotModel, cvals):
+    Xtree, Imat, damping, subtree_mask = cvals
+    return dataclasses.replace(model, Xtree=Xtree, Imat=Imat,
+                               damping=damping, subtree_mask=subtree_mask)
+
+
+def rollout_pallas(model: RobotModel, N: int, dt: float, gravity: float,
+                   u_min: Optional[float] = None,
+                   u_max: Optional[float] = None,
+                   block_b: int = ROLLOUT_BLOCK_B, interpret: bool = False):
+    """Fused N-step rollout: (x0 (nx,B), U (N,n,B)) -> X (N,nx,B).
+
+    X[t] is the state AFTER step t (callers prepend x0 for the (N+1) array).
+    """
+    _check(model)
+    n = model.num_vel
+    nx = 2 * n
+    clamp = u_min is not None or u_max is not None
+
+    def body(cvals, in_refs, out_refs):
+        m = _rebind(model, cvals)
+        x0_ref, U_ref = in_refs
+        (X_ref,) = out_refs
+
+        def step(t, x):
+            u = _ld(U_ref, t)
+            if clamp:
+                u = jnp.clip(u, u_min, u_max)
+            xn = _euler_step(m, x, u, dt, gravity)
+            _st(X_ref, t, xn)
+            return xn
+
+        jax.lax.fori_loop(0, N, step, x0_ref[...])
+
+    return _sweep_call(body, [(nx,), (N, n)], [(N, nx)],
+                       _model_consts(model), model.Imat.dtype, block_b,
+                       interpret)
+
+
+def feedback_rollout_pallas(model: RobotModel, N: int, dt: float,
+                            gravity: float,
+                            u_min: Optional[float] = None,
+                            u_max: Optional[float] = None,
+                            block_b: int = ROLLOUT_BLOCK_B,
+                            interpret: bool = False):
+    """Fused line-search rollout with feedback:
+
+    (x0 (nx,B), Uref (N,n,B), Xref (N,nx,B), kff (N,n,B), K (N,n,nx,B))
+      -> (X (N,nx,B), U (N,n,B))
+
+    ``u_t = clamp(Uref_t + kff_t + K_t (x_t - Xref_t))``; the line-search
+    step size is pre-folded into ``kff`` (alpha * k), so one call serves all
+    widened-alpha lanes at once.
+    """
+    _check(model)
+    n = model.num_vel
+    nx = 2 * n
+    clamp = u_min is not None or u_max is not None
+
+    def body(cvals, in_refs, out_refs):
+        m = _rebind(model, cvals)
+        x0_ref, Uref_ref, Xref_ref, kff_ref, K_ref = in_refs
+        X_ref, U_ref = out_refs
+
+        def step(t, x):
+            du = _ld(kff_ref, t) + bmv(_ld(K_ref, t), x - _ld(Xref_ref, t))
+            u = _ld(Uref_ref, t) + du
+            if clamp:
+                u = jnp.clip(u, u_min, u_max)
+            xn = _euler_step(m, x, u, dt, gravity)
+            _st(X_ref, t, xn)
+            _st(U_ref, t, u)
+            return xn
+
+        jax.lax.fori_loop(0, N, step, x0_ref[...])
+
+    return _sweep_call(
+        body,
+        [(nx,), (N, n), (N, nx), (N, n), (N, n, nx)],
+        [(N, nx), (N, n)],
+        _model_consts(model), model.Imat.dtype, block_b, interpret)
+
+
+def linesearch_rollout_pallas(model: RobotModel, N: int, dt: float,
+                              gravity: float, alphas,
+                              u_min: Optional[float] = None,
+                              u_max: Optional[float] = None,
+                              block_b: int = ROLLOUT_BLOCK_B,
+                              interpret: bool = False):
+    """Fused line-search rollout over ALL step sizes with in-kernel widening:
+
+    (x0 (nx,B), Uref (N,n,B), Xref (N,nx,B), k (N,n,B), K (N,n,nx,B))
+      -> (X (N,nx,na*B), U (N,n,na*B))
+
+    ``u_t = clamp(Uref_t + alpha_a * k_t + K_t (x_t - Xref_t))``. The grid is
+    (na, B/bb): every alpha re-reads the SAME unwidened input blocks and
+    writes its own slice of the widened outputs — the (na*B)-lane tiles of
+    Xref/K/Uref never materialize in HBM (they cost ~6x the input footprint
+    per iteration when widened by XLA ``tile`` ops). Output lane order is
+    alpha-major ([a0*B | a1*B | ...]), matching ``ilqr.forward``'s widen().
+    """
+    _check(model)
+    n = model.num_vel
+    nx = 2 * n
+    na = len(alphas)
+    clamp = u_min is not None or u_max is not None
+    alphas_arr = jnp.asarray(alphas, model.Imat.dtype)
+
+    model_consts = _model_consts(model)
+    in_shapes = [(nx,), (N, n), (N, nx), (N, n), (N, n, nx)]
+    out_shapes = [(N, nx), (N, n)]
+
+    def in_spec(shp):
+        nlead = len(shp)
+
+        def imap(a, i, _nlead=nlead):
+            return (0,) * _nlead + (i,)
+
+        return pl.BlockSpec(tuple(shp) + (block_b,), imap,
+                            memory_space=pltpu.VMEM)
+
+    def out_spec(shp, nb):
+        nlead = len(shp)
+
+        def imap(a, i, _nlead=nlead, _nb=nb):
+            return (0,) * _nlead + (a * _nb + i,)
+
+        return pl.BlockSpec(tuple(shp) + (block_b,), imap,
+                            memory_space=pltpu.VMEM)
+
+    const_specs = [pl.BlockSpec(c.shape, (lambda a, i, _nd=c.ndim:
+                                          (0,) * _nd),
+                                memory_space=pltpu.VMEM)
+                   for c in model_consts]
+    # alphas live in SMEM (scalar memory): rank-1 VMEM blocks must tile to
+    # 128 lanes, and SMEM supports the dynamic per-grid-step scalar read
+    alpha_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def kernel(*refs):
+        cvals = [r[...] for r in refs[:len(model_consts)]]
+        alpha = refs[len(model_consts)][pl.program_id(0)]
+        x0_ref, Uref_ref, Xref_ref, k_ref, K_ref = refs[
+            len(model_consts) + 1:len(model_consts) + 6]
+        X_ref, U_ref = refs[len(model_consts) + 6:]
+        m = _rebind(model, cvals)
+
+        def step(t, x):
+            du = (alpha * _ld(k_ref, t)
+                  + bmv(_ld(K_ref, t), x - _ld(Xref_ref, t)))
+            u = _ld(Uref_ref, t) + du
+            if clamp:
+                u = jnp.clip(u, u_min, u_max)
+            xn = _euler_step(m, x, u, dt, gravity)
+            _st(X_ref, t, xn)
+            _st(U_ref, t, u)
+            return xn
+
+        jax.lax.fori_loop(0, N, step, x0_ref[...])
+
+    def call(x0, Uref, Xref, k, K):
+        B = x0.shape[-1]
+        assert B % block_b == 0, (B, block_b)
+        nb = B // block_b
+        out = pl.pallas_call(
+            kernel,
+            grid=(na, nb),
+            in_specs=(const_specs + [alpha_spec]
+                      + [in_spec(s) for s in in_shapes]),
+            out_specs=tuple(out_spec(s, nb) for s in out_shapes),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct(s + (na * B,), model.Imat.dtype)
+                for s in out_shapes),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT),
+        )(*model_consts, alphas_arr, x0, Uref, Xref, k, K)
+        return out
+
+    return call
+
+
+def riccati_pallas(n: int, N: int, reg: float, dtype=jnp.float32,
+                   stationary_curvature: bool = False,
+                   block_b: int = RICCATI_BLOCK_B, interpret: bool = False):
+    """Fused first-order Riccati backward sweep (one kernel for all N knots).
+
+    Inputs (lane-major, trailing batch):
+      Amat (N,nx,nx,B), Bmat (N,nx,n,B), lx (N,nx,B), lu (N,n,B),
+      lxx, luu, lux  — with a leading N axis, or without it when
+      ``stationary_curvature`` (time-invariant cost curvature, e.g.
+      ``QuadCost``: the (N,nx,nx,B) broadcast never touches HBM),
+      Vx0 (nx,B), Vxx0 (nx,nx,B)  — terminal expansion.
+    Outputs: (ks (N,n,B), Ks (N,n,nx,B)).
+
+    Same math as the ``lax.scan`` body in ``trajopt/ilqr.backward`` (kept in
+    lockstep — parity-tested); ``gj_inverse`` is the pivot-free SPD inverse.
+    """
+    nx = 2 * n
+
+    def body(cvals, in_refs, out_refs):
+        (Amat_ref, Bmat_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
+         Vx0_ref, Vxx0_ref) = in_refs
+        ks_ref, Ks_ref = out_refs
+        if stationary_curvature:
+            lxx_c = lxx_ref[...]
+            luu_c = luu_ref[...]
+            lux_c = lux_ref[...]
+
+        def step(i, carry):
+            t = N - 1 - i
+            Vx, Vxx = carry
+            A, Bm = _ld(Amat_ref, t), _ld(Bmat_ref, t)
+            lx_t, lu_t = _ld(lx_ref, t), _ld(lu_ref, t)
+            if stationary_curvature:
+                lxx_t, luu_t, lux_t = lxx_c, luu_c, lux_c
+            else:
+                lxx_t = _ld(lxx_ref, t)
+                luu_t = _ld(luu_ref, t)
+                lux_t = _ld(lux_ref, t)
+            At = jnp.swapaxes(A, 0, 1)
+            Bt = jnp.swapaxes(Bm, 0, 1)
+            Qx = lx_t + bmv(At, Vx)
+            Qu = lu_t + bmv(Bt, Vx)
+            BtVxx = bmm(Bt, Vxx)
+            Qxx = lxx_t + bmm(bmm(At, Vxx), A)
+            Qux = lux_t + bmm(BtVxx, A)
+            Quu = luu_t + bmm(BtVxx, Bm)
+            reg_eye = reg * jnp.eye(n, dtype=Quu.dtype)[:, :, None]
+            Quu_inv = gj_inverse(Quu + reg_eye)
+            k_t = -bmv(Quu_inv, Qu)
+            K_t = -bmm(Quu_inv, Qux)
+            Kt_T = jnp.swapaxes(K_t, 0, 1)
+            Qux_T = jnp.swapaxes(Qux, 0, 1)
+            Vx_n = (Qx + bmv(Kt_T, bmv(Quu, k_t)) + bmv(Kt_T, Qu)
+                    + bmv(Qux_T, k_t))
+            Vxx_n = (Qxx + bmm(Kt_T, bmm(Quu, K_t)) + bmm(Kt_T, Qux)
+                     + bmm(Qux_T, K_t))
+            Vxx_n = 0.5 * (Vxx_n + jnp.swapaxes(Vxx_n, 0, 1))
+            _st(ks_ref, t, k_t)
+            _st(Ks_ref, t, K_t)
+            return Vx_n, Vxx_n
+
+        jax.lax.fori_loop(0, N, step, (Vx0_ref[...], Vxx0_ref[...]))
+
+    curv = ([(nx, nx), (n, n), (n, nx)] if stationary_curvature
+            else [(N, nx, nx), (N, n, n), (N, n, nx)])
+    in_shapes = ([(N, nx, nx), (N, nx, n), (N, nx), (N, n)] + curv
+                 + [(nx,), (nx, nx)])
+    return _sweep_call(body, in_shapes, [(N, n), (N, n, nx)], (), dtype,
+                       block_b, interpret)

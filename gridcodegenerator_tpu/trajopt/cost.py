@@ -28,6 +28,11 @@ from ..ops import eepose as _eepose
 class CostModel:
     """Interface: all arrays lane-major, t is the knot index (static int)."""
 
+    # True when the stage-cost curvature (lxx, luu, lux) is independent of
+    # (x, u, t): lets the fused Riccati kernel take a single curvature block
+    # instead of an (N, ...) stack
+    stationary_curvature = False
+
     def stage(self, x, u, t):
         """-> scalar cost per lane (B,)."""
         raise NotImplementedError
@@ -53,6 +58,8 @@ class QuadCost(CostModel):
     R: jnp.ndarray       # (n,)
     Qf: jnp.ndarray      # (2n,)
     x_goal: jnp.ndarray  # (2n,) or (2n, B)
+
+    stationary_curvature = True
 
     def _xg(self, x):
         xg = self.x_goal

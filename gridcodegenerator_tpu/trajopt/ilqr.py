@@ -58,6 +58,10 @@ class ILQRConfig:
     parallel_riccati: bool = False  # associative-scan backward sweep:
                                   # depth N -> log2(N), ~2x FLOPs (see
                                   # trajopt/priccati.py); first-order only
+    fused_sweeps: bool = True     # run whole rollout / Riccati sweeps as
+                                  # single Pallas kernels (horizon loop
+                                  # inside the kernel — kills the per-knot
+                                  # dispatch overhead of scan-of-kernels)
 
     def clamp(self, u):
         if self.u_min is None and self.u_max is None:
@@ -103,15 +107,32 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
                       and not model.floating_base)
     blk = cfg.pallas_block
     fused_fd_du = fused_aba = fused_so = None
-    so_blk = None
+    fused_roll = fused_fb = fused_ric = None
+    so_blk = roll_blk = ric_blk = None
+    stationary_cost = getattr(cost, "stationary_curvature", False)
     if use_pallas and not model.floating_base:
         from ..ops.pallas import kernels as _pk
+        from ..ops.pallas import sweeps as _ps
         fused_fd_du = _pk.fd_du_pallas(model, cfg.gravity, block_b=blk,
                                        with_extras=True)
         fused_aba = _pk.aba_pallas(model, cfg.gravity, block_b=blk)
         if cfg.use_second_order and _pk.so_fits(model):
             so_blk = _pk.so_block_b(model)
             fused_so = _pk.fdsva_so_pallas(model, cfg.gravity)
+        if cfg.fused_sweeps:
+            roll_blk = _ps.ROLLOUT_BLOCK_B
+            fused_roll = _ps.rollout_pallas(
+                model, N, dt, cfg.gravity, cfg.u_min, cfg.u_max,
+                block_b=roll_blk)
+            fused_fb = _ps.linesearch_rollout_pallas(
+                model, N, dt, cfg.gravity, cfg.alphas, cfg.u_min, cfg.u_max,
+                block_b=roll_blk)
+            if not cfg.use_second_order and not cfg.parallel_riccati:
+                ric_blk = _ps.RICCATI_BLOCK_B
+                fused_ric = _ps.riccati_pallas(
+                    n, N, cfg.reg, dtype=model.Imat.dtype,
+                    stationary_curvature=stationary_cost,
+                    block_b=ric_blk)
 
     def step(x, u):
         """Semi-implicit Euler step, fused-ABA when the lanes tile."""
@@ -123,10 +144,13 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
 
     # ------------------------------------------------------------------
     def rollout(x0, U):
-        def body(x, u):
-            xn = step(x, cfg.clamp(u))
-            return xn, xn
-        _, Xs = jax.lax.scan(body, x0, U)
+        if fused_roll is not None and x0.shape[-1] % roll_blk == 0:
+            Xs = fused_roll(x0, U)
+        else:
+            def body(x, u):
+                xn = step(x, cfg.clamp(u))
+                return xn, xn
+            _, Xs = jax.lax.scan(body, x0, U)
         return jnp.concatenate([x0[None], Xs], axis=0)  # (N+1, 2n, B)
 
     def total_cost(X, U):
@@ -175,6 +199,25 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
         exps = [cost.stage_expansion(X[t], U[t], t) for t in range(N)]
         lx = jnp.stack([e[1] for e in exps])
         lu = jnp.stack([e[2] for e in exps])
+
+        if (fused_ric is not None and so_t is None and B % ric_blk == 0):
+            # whole backward sweep in one kernel; stationary-curvature costs
+            # pass a single (no-N-axis) lxx/luu/lux so the broadcast never
+            # materializes in HBM
+            if stationary_cost:
+                e0 = exps[0]
+                lxx_in = jnp.broadcast_to(e0[3], (nx, nx, B))
+                luu_in = jnp.broadcast_to(e0[4], (n, n, B))
+                lux_in = jnp.broadcast_to(e0[5], (n, nx, B))
+            else:
+                lxx_in = jnp.stack(
+                    [jnp.broadcast_to(e[3], (nx, nx, B)) for e in exps])
+                luu_in = jnp.stack(
+                    [jnp.broadcast_to(e[4], (n, n, B)) for e in exps])
+                lux_in = jnp.stack([e[5] for e in exps])
+            return fused_ric(Amat, Bmat, lx, lu, lxx_in, luu_in, lux_in,
+                             Vx0, Vxx0)
+
         lxx = jnp.stack([jnp.broadcast_to(e[3], (nx, nx, B)) for e in exps])
         luu = jnp.stack([jnp.broadcast_to(e[4], (n, n, B)) for e in exps])
         lux = jnp.stack([e[5] for e in exps])
@@ -250,15 +293,22 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
             return jnp.tile(z, (1,) * (z.ndim - 1) + (na,))
         alpha_w = jnp.repeat(al, B)
 
-        def body(x, inp):
-            x_ref, u_ref, k_t, K_t = inp
-            du = alpha_w * widen(k_t) + bmv(widen(K_t), x - widen(x_ref))
-            u = cfg.clamp(widen(u_ref) + du).astype(x.dtype)
-            xn = step(x, u)
-            return xn, (xn, u)
+        if fused_fb is not None and B % roll_blk == 0:
+            # one fused kernel over all step sizes; the alpha-widening
+            # happens inside the kernel grid, so the widened Xref/K tiles
+            # never materialize in HBM
+            Xs, Uw = fused_fb(X[0], U, X[:N], ks, Ks)
+            Xw = jnp.concatenate([widen(X[0])[None], Xs], axis=0)
+        else:
+            def body(x, inp):
+                x_ref, u_ref, k_t, K_t = inp
+                du = alpha_w * widen(k_t) + bmv(widen(K_t), x - widen(x_ref))
+                u = cfg.clamp(widen(u_ref) + du).astype(x.dtype)
+                xn = step(x, u)
+                return xn, (xn, u)
 
-        _, (Xw, Uw) = jax.lax.scan(body, widen(X[0]), (X[:N], U, ks, Ks))
-        Xw = jnp.concatenate([widen(X[0])[None], Xw], axis=0)
+            _, (Xw, Uw) = jax.lax.scan(body, widen(X[0]), (X[:N], U, ks, Ks))
+            Xw = jnp.concatenate([widen(X[0])[None], Xw], axis=0)
         cw = total_cost(Xw, Uw).reshape(na, B)
         best = jnp.argmin(cw, axis=0)                            # (B,)
         XwA = Xw.reshape(N + 1, nx, na, B)

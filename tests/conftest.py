@@ -20,3 +20,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compile cache: the suite is compile-bound on CPU CI (one
+# core), and the kernels are trace-time-specialized per robot, so repeat
+# runs recompile identical programs. ~2.6x wall-clock on warm runs.
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir,
+                          ".cache", "jax")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
