@@ -24,6 +24,11 @@ def main():
                     help="comma-separated subset (default: all)")
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--profile", type=str, default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the benchmarked "
+                         "kernels into DIR (view with TensorBoard / Perfetto"
+                         " — the tracing analog of the reference's timing "
+                         "harness)")
     args = ap.parse_args()
 
     import jax
@@ -76,9 +81,14 @@ def main():
     backend = jax.default_backend()
     print(json.dumps({"backend": backend, "device": str(jax.devices()[0])}),
           flush=True)
-    if not args.no_pallas and backend != "cpu":
-        bench("pallas", True)
-    bench("xla", False)
+
+    import contextlib
+    trace = (jax.profiler.trace(args.profile) if args.profile
+             else contextlib.nullcontext())
+    with trace:
+        if not args.no_pallas and backend != "cpu":
+            bench("pallas", True)
+        bench("xla", False)
 
 
 if __name__ == "__main__":

@@ -352,6 +352,16 @@ class GRiD:
         return self._out(out, ub)
 
     # -- packed-input convenience (gridData q_qd_u layout parity) ---------
+    def fk(self, q):
+        """World homogeneous transforms of every joint frame: (B, n, 4, 4)
+        (the reference's ``X_single_thread`` / ``X_warp`` FK accumulators)."""
+        qk, ub = self._in(q, self.num_pos)
+        return self._out(self._fk(qk), ub)
+
+    @functools.cached_property
+    def _fk(self):
+        return jax.jit(lambda q: _eepose.fk(self.model, q))
+
     def fd_du_packed(self, q_qd_u):
         """Packed (B, num_pos + 2*num_vel) input, as the reference's
         ``d_q_qd_u`` stride-3n buffer (``GRiDCodeGenerator.py:163-183``)."""

@@ -270,3 +270,25 @@ def d2eepos_unrolled(model: RobotModel, q,
     """``d2eepos`` with both jacfwd seed axes unrolled."""
     from .seedjac import seed_jac
     return seed_jac(lambda a: deepos_unrolled(model, a, targets, poly_atan2), q)
+
+
+def fk(model: RobotModel, q):
+    """Batched forward kinematics: world homogeneous transforms of EVERY
+    joint frame, lane-major: q (num_pos, B) -> (n, 4, 4, B).
+
+    The public per-link FK accumulator — the analog of the reference's
+    standalone ``X_single_thread`` / ``X_warp`` chain-multiply device
+    functions (``/root/reference/algorithms/_eepose_gradient_hessian.py:
+    1226-1398``), which expose the accumulated transforms rather than just
+    the end-effector poses. Parent transforms are computed once and reused
+    down the tree (trace-time unrolled over the topology).
+    """
+    pl = pos_layout(model)
+    n = model.n
+    Tw = [None] * n
+    for i in range(n):  # ids are topologically ordered (parent < child)
+        off, k = pl[i]
+        Ti = _joint_T_lanes(model, i, q[off] if k == 1 else q[off:off + k])
+        p = model.parent[i]
+        Tw[i] = Ti if p < 0 else _mm44(Tw[p], Ti)
+    return jnp.stack(Tw)

@@ -179,3 +179,47 @@ def test_api_ee_targets_subset():
     np.testing.assert_allclose(p_two[:, 1], p_all[:, 0], atol=1e-12)
     J = np.asarray(g_two.deepos(q))
     assert J.shape == (5, 12, g_two.num_pos)
+
+
+def test_fk_matches_eepos_chain():
+    """fk() world transforms reproduce the EE poses through the fixed-joint
+    frames (iiwa leaf) and respect the parent chain (hyq branches)."""
+    from gridcodegenerator_tpu.api import GRiD
+    from gridcodegenerator_tpu.ops import eepose as _eepose
+
+    g = GRiD("hyq", dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    q = rng.uniform(-1, 1, (3, g.num_pos))
+    T = np.asarray(g.fk(q))                     # (3, n, 4, 4)
+    assert T.shape == (3, g.model.n, 4, 4)
+    # push each fk leaf transform through its fixed joint -> eepos parity
+    pose = np.asarray(g.eepos(q)).reshape(3, g.num_ees, 6)
+    for e, (chain, fid) in enumerate(_eepose.ee_chains(g.model)):
+        Tw = T[:, chain[-1]] @ np.asarray(g.model.Tfixed[fid])
+        np.testing.assert_allclose(Tw[:, :3, 3], pose[:, e, :3], atol=1e-10)
+    # orthonormal rotations
+    RtR = np.einsum("bnij,bnik->bnjk", T[:, :, :3, :3], T[:, :, :3, :3])
+    np.testing.assert_allclose(
+        RtR, np.broadcast_to(np.eye(3), RtR.shape), atol=1e-10)
+
+
+def test_error_guards():
+    """gpuErrchk analog: finite outputs pass, NaN raises; limit checks."""
+    import pytest as _pytest
+
+    from gridcodegenerator_tpu.api import GRiD
+    from gridcodegenerator_tpu.utils.errors import (
+        check_joint_limits, checked)
+
+    g = GRiD("iiwa", dtype=jnp.float64)
+    q = np.zeros((2, g.num_pos))
+    ok = checked(g.id, "id")(q, q)
+    assert np.all(np.isfinite(np.asarray(ok)))
+    bad = q.copy()
+    bad[0, 0] = np.nan
+    with _pytest.raises(FloatingPointError):
+        np.asarray(checked(g.id, "id")(bad, q))
+    lims = check_joint_limits(g.model, np.zeros((4, g.num_pos)))
+    assert lims.shape == (4,) and lims.all()
+    big = np.full((1, g.num_pos), 100.0)
+    assert not check_joint_limits(g.model, big).any()
