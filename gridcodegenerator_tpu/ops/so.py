@@ -144,14 +144,16 @@ def idsva_so_unrolled(
     return jnp.stack([d2q, d2qd, cross, dM])
 
 
-def fdsva_so_unrolled(
+def fdsva_so_seeded(
     model: RobotModel,
     q: jnp.ndarray,
     qd: jnp.ndarray,
     u: jnp.ndarray,
     GRAVITY: float = DEFAULT_GRAVITY,
 ) -> jnp.ndarray:
-    """``fdsva_so`` with the jacfwd seed axis unrolled at trace time."""
+    """FDSVA-SO by seed-unrolled jacfwd straight through ``fd_grad``
+    (2nv JVPs of the full minv+RNEA+ID-gradient pipeline). Kept as the
+    independent cross-check for :func:`fdsva_so_unrolled`."""
     from .seedjac import seed_jac
 
     nv = model.num_vel
@@ -162,3 +164,64 @@ def fdsva_so_unrolled(
     d2qd = Jqd[:, nv:]
     dMinv = seed_jac(lambda a: minv(model, a, True), q)
     return jnp.stack([d2q, d2qd, cross, dMinv])
+
+
+def _minv_contract(Mi, T):
+    """out[i,j,k,B] = sum_m Mi[i,m,B] T[m,j,k,B] (unrolled over m)."""
+    nv = Mi.shape[0]
+    out = Mi[:, 0][:, None, None, :] * T[0][None]
+    for m in range(1, nv):
+        out = out + Mi[:, m][:, None, None, :] * T[m][None]
+    return out
+
+
+def _dm_contract(dM, D):
+    """C[i,a,b,B] = sum_m dM[i,m,a,B] D[m,b,B] (unrolled over m)."""
+    nv = dM.shape[0]
+    out = dM[:, 0][:, :, None, :] * D[0][None, None]
+    for m in range(1, nv):
+        out = out + dM[:, m][:, :, None, :] * D[m][None, None]
+    return out
+
+
+def fdsva_so_unrolled(
+    model: RobotModel,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    u: jnp.ndarray,
+    GRAVITY: float = DEFAULT_GRAVITY,
+) -> jnp.ndarray:
+    """FDSVA-SO from the IDSVA-SO tensors by the implicit-function identity
+    — the reference's own composition (``_fdsva_so.py:52-83``:
+    ``inner_dq = d2tau_dqdq + dM_dq . dqdd_dq + rot``, ``inner_cross``,
+    ``inner_tau = dM_dq . Minv``, then ``-Minv`` applied to each):
+
+        M(q) qdd = u - c(q, qd)   =>   differentiate u = ID(q, qd, qdd(q,qd,u))
+        d2qdd/dq2      = -Minv (d2tau/dq2 + C + C^T_jk),  C[ijk] = dM[imj] dfdq[mk]
+        d2qdd/dqd2     = -Minv  d2tau/dqd2
+        d2qdd/dqd dq   = -Minv (d2tau/dqd dq + dM[imk] dfdqd[mj])
+        d2qdd/dtau dq  = -Minv (dM[imk] Minv[mj])         (= dMinv/dq)
+
+    ~40% cheaper than jacfwd through ``fd_grad``: the 2nv JVP seeds pass
+    only through ``id_grad``/``crba`` (no per-seed mass-matrix inverse),
+    and the remaining work is n^4 lane-wise contractions.
+    """
+    nv = model.num_vel
+    df_du, qdd, Mi = fd_grad(model, q, qd, u, GRAVITY, return_extras=True)
+    dfdq, dfdqd = df_du[:, :nv], df_du[:, nv:]
+    T = idsva_so_unrolled(model, q, qd, qdd, GRAVITY)
+    d2tau_q, d2tau_qd, tau_cross, dM = T[0], T[1], T[2], T[3]
+
+    C = _dm_contract(dM, dfdq)                   # C[i,j,k] = dM[imj] dfdq[mk]
+    inner_q = d2tau_q + C + jnp.swapaxes(C, 1, 2)
+    D = _dm_contract(dM, dfdqd)                  # D[i,k,j'] = dM[imk] dfdqd[mj']
+    inner_cross = tau_cross + jnp.swapaxes(D, 1, 2)
+    E = _dm_contract(dM, Mi)                     # E[i,k,j] = dM[imk] Minv[mj]
+    inner_tau = jnp.swapaxes(E, 1, 2)
+
+    return jnp.stack([
+        -_minv_contract(Mi, inner_q),
+        -_minv_contract(Mi, d2tau_qd),
+        -_minv_contract(Mi, inner_cross),
+        -_minv_contract(Mi, inner_tau),
+    ])

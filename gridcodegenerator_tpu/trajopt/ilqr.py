@@ -256,7 +256,8 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
                 Amat, Bmat, lu, luu, lux, Vx_all[1:], Vxx_all[1:])
             return ks, Ks
 
-        scan_in = (Amat, Bmat, lx, lu, lxx, luu, lux) + (so_t or ())
+        scan_in = ((Amat, Bmat, lx, lu, lxx, luu, lux)
+                   + ((jnp.arange(N),) if so_t is not None else ()))
 
         def body(carry, inp):
             Vx, Vxx = carry
@@ -271,8 +272,15 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
             Quu = luu_t + bmm(bmm(Bt, Vxx), Bm)
             if cfg.use_second_order:
                 # exact DDP terms: contract V'_x with the second-order
-                # dynamics tensors of the semi-implicit Euler map
-                d2q_t, d2qd_t, cr_t, dMi_t = inp[7:11]
+                # dynamics tensors of the semi-implicit Euler map. The
+                # tensors stay in the kernels' flat (n,n,n,N*B) lane layout
+                # and are lane-sliced per knot here — transposing them to a
+                # (N, ...) scan axis costs ~720 MB of HBM shuffles per
+                # solver iteration at MPC sizes
+                tix = inp[7]
+                d2q_t, d2qd_t, cr_t, dMi_t = (
+                    jax.lax.dynamic_slice_in_dim(s, tix * B, B, 3)
+                    for s in so_t)
                 w = dt * Vx[n:] + dt * dt * Vx[:n]              # (n, B)
                 hqq = jnp.sum(w[:, None, None, :] * d2q_t, axis=0)
                 hdd = jnp.sum(w[:, None, None, :] * d2qd_t, axis=0)
@@ -361,14 +369,13 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
             Amat, Bmat, (qf, qdf, uf) = linearize(X, U)
             so_t = None
             if cfg.use_second_order:
-                B = X.shape[-1]
                 if fused_so is not None and qf.shape[-1] % so_blk == 0:
                     so_flat = fused_so(qf, qdf, uf)
                 else:
                     so_flat = _so.fdsva_so(model, qf, qdf, uf, cfg.gravity)
-                so_t = tuple(
-                    jnp.moveaxis(so_flat[i].reshape(n, n, n, N, B), 3, 0)
-                    for i in range(4))
+                # keep the flat (n,n,n,N*B) lane layout; backward() slices
+                # lanes per knot instead of materializing the transpose
+                so_t = tuple(so_flat[i] for i in range(4))
             ks, Ks = backward(X, U, Amat, Bmat, so_t)
             Xn, Un, cn = forward(X, U, ks, Ks)
             acc = cn < c
