@@ -42,7 +42,8 @@ def fd_grad(
     Mu, _ = minv_factors(model, q, Xs=Xs)
     Mi = densify(Mu)
     qdd = bmv(Mi, u - c)
-    # RNEA intermediates at the realized qdd, then the ID gradient
+    # RNEA intermediates at the realized qdd, then the ID gradient (the
+    # wave algorithm covers floating base with a 6-wide base column block)
     v, a, f = rnea_fpass(model, Xs, qd, qdd, GRAVITY)
     _, f_acc = rnea_bpass(model, Xs, qd, f)
     dc_du = id_grad_inner(model, Xs, qd, v, a, f_acc, GRAVITY)

@@ -19,15 +19,19 @@ is redesigned for the VPU:
   ``X^T crf(S) f`` form (valid for prismatic too) instead of the reference's
   revolute-only ``-X^T crm(f) S`` (see reference/oracle.py).
 
-Fixed-base robots (the reference emits floating-base gradients too — slated
-for the floating-base round; the gradient chart there is the Lie-algebra
-tangent, not raw q).
+Floating-base robots use :func:`id_grad_seeded`: the same analytical
+derivative obtained by JVP-seeding the RNEA through the joint transforms,
+with the base's six derivative directions taken in the body-frame tangent
+chart (``dX = -crm(e_j) X`` per direction — the chart under which the
+reference's floating-base gradient emits ``dv/dq = 0`` at the base and
+``mx_j(X a_parent)`` self-terms, ``_inverse_dynamics_gradient.py:206-258``).
 """
 
 from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..models.model import RobotModel
@@ -48,11 +52,18 @@ def id_grad_inner(
     f: List[jnp.ndarray],
     GRAVITY: float = DEFAULT_GRAVITY,
 ) -> jnp.ndarray:
-    """dc_du (nv, 2*nv, B) given RNEA intermediates (accumulated f)."""
-    if model.floating_base:
-        raise NotImplementedError(
-            "floating-base analytical gradients land with the floating round")
-    n = nv = model.n
+    """dc_du (nv, 2*nv, B) given RNEA intermediates (accumulated f).
+
+    Floating base: the base joint contributes a 6-wide column block
+    (columns 0..5) in the body-frame tangent chart — ``dv/dq = 0`` at the
+    base, ``da0/dq_j = mx_j(X g)`` self terms, and the base's six torque
+    rows extracted whole, mirroring the reference's floating branches
+    (``_inverse_dynamics_gradient.py:206-230,308,383,450,500,543``)."""
+    from .common import vel_layout
+
+    n = model.n
+    nv = model.num_vel
+    vl = vel_layout(model)
     B = qd.shape[-1]
     dtype = qd.dtype
     g = gravity_accel(GRAVITY, B, dtype)
@@ -63,19 +74,31 @@ def id_grad_inner(
     MxXv, MxXa, Mxv, FxvI = [], [], [], []
     for i in range(n):
         p = model.parent[i]
+        _, d = vl[i]
         Xv_p = Xv(Xs[i], v[p]) if p != -1 else None
         Xa_p = Xv(Xs[i], a[p] if p != -1 else g)
-        s = model.S_ind[i]
-        MxXv.append(mxS(s, Xv_p) if p != -1 else None)
-        MxXa.append(mxS(s, Xa_p))
-        Mxv.append(mxS(s, v[i]))
+        if d == 1:
+            s = model.S_ind[i]
+            MxXv.append(mxS(s, Xv_p) if p != -1 else None)
+            MxXa.append(mxS(s, Xa_p))
+            Mxv.append(mxS(s, v[i]))
+        else:  # floating base: six tangent directions; a0 = X g has no
+            #    crm(v) vJ term, so there is no Mx(v) self contribution
+            MxXv.append(None)
+            MxXa.append(jnp.stack([mxS(j, Xa_p) for j in range(6)], axis=1))
+            Mxv.append(None)
         # crf(v) @ I as a (6,6,B) operator: columns are cross_fv(v, I[:,k])
         Icols = [model.Imat[i][:, k][:, None] + tz for k in range(6)]
         FxvI.append(jnp.stack([cross_fv(v[i], col) for col in Icols], axis=1))
 
-    # column-add helper: X + e_col ⊗ val (scatter-free; Mosaic-safe)
+    # column-add helpers: X + e_col ⊗ val (scatter-free; Mosaic-safe)
     def col_add(D, col, val):
         return D + onehot(col, nv, dtype)[None, :, :] * val[:, None, :]
+
+    def col_put6(D, start, val6):  # val6 (6, 6, B) into columns start..start+5
+        for j in range(6):
+            D = col_add(D, start + j, val6[:, j])
+        return D
 
     # ---- stage 2: forward dv/du waves ------------------------------------
     Dvq: List[jnp.ndarray] = [None] * n   # (6, nv, B) each
@@ -83,25 +106,34 @@ def id_grad_inner(
     for lvl in model.bfs_levels:
         for i in lvl:
             p = model.parent[i]
+            off, d = vl[i]
             if p == -1:
                 Dq = jnp.zeros((6, nv, B), dtype)
                 Dd = jnp.zeros((6, nv, B), dtype)
             else:
-                Dq = col_add(_Xcols(Xs[i], Dvq[p]), i, MxXv[i])
+                Dq = col_add(_Xcols(Xs[i], Dvq[p]), off, MxXv[i])
                 Dd = _Xcols(Xs[i], Dvqd[p])
-            Sd = onehot(model.S_ind[i], 6, dtype) + tz  # materialized (6, B)
             Dvq[i] = Dq
-            Dvqd[i] = col_add(Dd, i, Sd)
+            if d == 1:
+                Sd = onehot(model.S_ind[i], 6, dtype) + tz  # (6, B)
+                Dvqd[i] = col_add(Dd, off, Sd)
+            else:  # dv0/dqd = S = I6
+                Dvqd[i] = col_put6(Dd, off, eye2d(6, dtype)[:, :, None] + tz)
 
     # ---- stage 3: da/du = crm(dv/du) S qd + self terms + X da_parent/du --
     Daq: List[jnp.ndarray] = [None] * n
     Dad: List[jnp.ndarray] = [None] * n
     for lvl in model.bfs_levels:
         for i in lvl:
+            off, d = vl[i]
+            if d == 6:  # base: a0 = X(q) g (+ const qdd) — only MxXa terms
+                Daq[i] = col_put6(jnp.zeros((6, nv, B), dtype), off, MxXa[i])
+                Dad[i] = jnp.zeros((6, nv, B), dtype)
+                continue
             s = model.S_ind[i]
-            qdi = qd[i][None]  # broadcast over columns
-            Aq = col_add(mxS(s, Dvq[i], qdi), i, MxXa[i])
-            Ad = col_add(mxS(s, Dvqd[i], qdi), i, Mxv[i])
+            qdi = qd[off][None]  # broadcast over columns
+            Aq = col_add(mxS(s, Dvq[i], qdi), off, MxXa[i])
+            Ad = col_add(mxS(s, Dvqd[i], qdi), off, Mxv[i])
             p = model.parent[i]
             if p != -1:
                 Aq = Aq + _Xcols(Xs[i], Daq[p])
@@ -124,17 +156,77 @@ def id_grad_inner(
             p = model.parent[i]
             if p == -1:
                 continue
+            off, _ = vl[i]
             corr = XTv(Xs[i], crfS_f(model.S_ind[i], f[i]))
-            Dfq[p] = col_add(Dfq[p] + _XTcols(Xs[i], Dfq[i]), i, corr)
+            Dfq[p] = col_add(Dfq[p] + _XTcols(Xs[i], Dfq[i]), off, corr)
             Dfd[p] = Dfd[p] + _XTcols(Xs[i], Dfd[i])
 
-    dcq = jnp.stack([Dfq[i][model.S_ind[i]] for i in range(n)])   # (nv,nv,B)
-    # damping enters the dqd diagonal per row (scalar * one-hot — no
-    # lane-to-sublane reshape of the damping vector, Mosaic-safe)
-    dcd = jnp.stack([Dfd[i][model.S_ind[i]]
-                     + model.damping[i] * onehot(i, nv, dtype)
-                     for i in range(n)])
+    dcq_rows, dcd_rows = [], []
+    for i in range(n):
+        off, d = vl[i]
+        if d == 6:  # base torque rows come out whole
+            dcq_rows.append(Dfq[i])
+            dcd_rows.append(Dfd[i])
+        else:
+            dcq_rows.append(Dfq[i][model.S_ind[i]][None])
+            # damping enters the dqd diagonal per row (scalar * one-hot — no
+            # lane-to-sublane reshape of the damping vector, Mosaic-safe)
+            dcd_rows.append((Dfd[i][model.S_ind[i]]
+                             + model.damping[i] * onehot(off, nv, dtype))[None])
+    dcq = jnp.concatenate(dcq_rows, axis=0)   # (nv, nv, B)
+    dcd = jnp.concatenate(dcd_rows, axis=0)
     return jnp.concatenate([dcq, dcd], axis=1)  # (nv, 2nv, B)
+
+
+def id_grad_seeded(
+    model: RobotModel,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    qdd: Optional[jnp.ndarray] = None,
+    GRAVITY: float = DEFAULT_GRAVITY,
+    Xs: Optional[List[jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """dc_du by JVP-seeding RNEA through the joint transforms (floating-base
+    capable).
+
+    Each configuration column seeds the owning joint's transform with its
+    chart tangent ``dX = crm(X[:,c]) e_j`` per column c (equivalently
+    ``-crm(e_j) X``): for 1-dof joints j is the joint axis (identical math
+    to :func:`id_grad_inner` — parity-tested), for the floating base j runs
+    over all six body-frame directions. Velocity columns seed ``qd``
+    directly. Derivatives are taken at fixed ``qdd`` (the dc_du semantics).
+    """
+    from .common import vel_layout
+
+    n, nv = model.n, model.num_vel
+    if Xs is None:
+        Xs = all_xmats(model, q)
+    vl = vel_layout(model)
+
+    def c_of(Xs_t, qd_):
+        v, a, f = rnea_fpass(model, list(Xs_t), qd_, qdd, GRAVITY)
+        c, _ = rnea_bpass(model, list(Xs_t), qd_, f)
+        return c
+
+    Xs_t = tuple(Xs)
+    zX = tuple(jnp.zeros_like(X) for X in Xs)
+    zqd = jnp.zeros_like(qd)
+    rows = jnp.arange(nv, dtype=jnp.int32)
+    cols = []
+    for i in range(n):  # dc/dq columns (chart tangents)
+        _, d = vl[i]
+        dirs = range(6) if d == 6 else [model.S_ind[i]]
+        for j in dirs:
+            tX = list(zX)
+            tX[i] = mxS(j, Xs[i])
+            _, t = jax.jvp(c_of, (Xs_t, qd), (tuple(tX), zqd))
+            cols.append(t)
+    for col in range(nv):  # dc/dqd columns
+        tqd = jnp.broadcast_to(
+            (rows == col).astype(qd.dtype)[:, None], qd.shape)
+        _, t = jax.jvp(c_of, (Xs_t, qd), (zX, tqd))
+        cols.append(t)
+    return jnp.stack(cols, axis=1)  # (nv, 2nv, B)
 
 
 def id_grad(
@@ -144,7 +236,10 @@ def id_grad(
     qdd: Optional[jnp.ndarray] = None,
     GRAVITY: float = DEFAULT_GRAVITY,
 ) -> jnp.ndarray:
-    """dc_du = [dc/dq | dc/dqd]: (nv, 2*nv, B)."""
+    """dc_du = [dc/dq | dc/dqd]: (nv, 2*nv, B).
+
+    Floating base: q-columns are body-frame tangent directions (local
+    chart), matching the reference's floating-base gradient columns."""
     Xs = all_xmats(model, q)
     v, a, f = rnea_fpass(model, Xs, qd, qdd, GRAVITY)
     _, f_acc = rnea_bpass(model, Xs, qd, f)

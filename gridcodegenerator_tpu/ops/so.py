@@ -47,6 +47,14 @@ def _persample(fn):
     return wrapped
 
 
+def _check_fixed_base(model):
+    if model.floating_base:
+        raise NotImplementedError(
+            "second-order tensors are fixed-base (matching the reference: "
+            "floating-base robots get only ID/Minv/FD and their gradients, "
+            "GRiDCodeGenerator.py:418-430)")
+
+
 def idsva_so(
     model: RobotModel,
     q: jnp.ndarray,
@@ -56,6 +64,7 @@ def idsva_so(
 ) -> jnp.ndarray:
     """Second-order inverse dynamics: (4, nv, nv, nv, B) stacked tensors
     [d2tau/dq2, d2tau/dqd2, d2tau/dqd dq, dM/dq]."""
+    _check_fixed_base(model)
     nv = model.num_vel
 
     def dc_du_sample(qs, qds, qdds):
@@ -95,6 +104,7 @@ def fdsva_so(
     # both ways, so it is a TPU lowering artifact, not conditioning). The
     # unrolled form is also what the fused Pallas kernel runs, so TPU gets
     # it on the XLA path too.
+    _check_fixed_base(model)
     if jax.default_backend() == "tpu":
         return fdsva_so_unrolled(model, q, qd, u, GRAVITY)
     nv = model.num_vel
@@ -131,6 +141,7 @@ def idsva_so_unrolled(
 ) -> jnp.ndarray:
     """``idsva_so`` with the jacfwd seed axis unrolled at trace time
     (identical math/layout; see ``ops.seedjac``)."""
+    _check_fixed_base(model)
     from .seedjac import seed_jac
 
     nv = model.num_vel
@@ -206,6 +217,7 @@ def fdsva_so_unrolled(
     only through ``id_grad``/``crba`` (no per-seed mass-matrix inverse),
     and the remaining work is n^4 lane-wise contractions.
     """
+    _check_fixed_base(model)
     nv = model.num_vel
     df_du, qdd, Mi = fd_grad(model, q, qd, u, GRAVITY, return_extras=True)
     dfdq, dfdqd = df_du[:, :nv], df_du[:, nv:]
