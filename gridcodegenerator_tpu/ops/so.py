@@ -63,8 +63,14 @@ def idsva_so(
     GRAVITY: float = DEFAULT_GRAVITY,
 ) -> jnp.ndarray:
     """Second-order inverse dynamics: (4, nv, nv, nv, B) stacked tensors
-    [d2tau/dq2, d2tau/dqd2, d2tau/dqd dq, dM/dq]."""
+    [d2tau/dq2, d2tau/dqd2, d2tau/dqd dq, dM/dq].
+
+    On TPU backends dispatches to the analytical SVA algorithm
+    (:func:`idsva_so_analytical`); the jacfwd form below is the
+    independent cross-check used by the test suite on CPU."""
     _check_fixed_base(model)
+    if jax.default_backend() == "tpu":
+        return idsva_so_analytical(model, q, qd, qdd, GRAVITY)
     nv = model.num_vel
 
     def dc_du_sample(qs, qds, qdds):
@@ -132,7 +138,7 @@ def fdsva_so(
 # Mosaic-lowerable unrolled variants (bound by the fused Pallas kernels)
 # ---------------------------------------------------------------------------
 
-def idsva_so_unrolled(
+def idsva_so_seeded(
     model: RobotModel,
     q: jnp.ndarray,
     qd: jnp.ndarray,
@@ -140,7 +146,8 @@ def idsva_so_unrolled(
     GRAVITY: float = DEFAULT_GRAVITY,
 ) -> jnp.ndarray:
     """``idsva_so`` with the jacfwd seed axis unrolled at trace time
-    (identical math/layout; see ``ops.seedjac``)."""
+    (2nv JVPs through id_grad; kept as an independent cross-check for the
+    analytical algorithm)."""
     _check_fixed_base(model)
     from .seedjac import seed_jac
 
@@ -153,6 +160,18 @@ def idsva_so_unrolled(
     d2qd = Jqd[:, nv:]
     dM = seed_jac(lambda a: crba(model, a), q)
     return jnp.stack([d2q, d2qd, cross, dM])
+
+
+def idsva_so_unrolled(
+    model: RobotModel,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    qdd: Optional[jnp.ndarray] = None,
+    GRAVITY: float = DEFAULT_GRAVITY,
+) -> jnp.ndarray:
+    """Mosaic-lowerable IDSVA-SO — the analytical second-order algorithm
+    (see :func:`idsva_so_analytical`)."""
+    return idsva_so_analytical(model, q, qd, qdd, GRAVITY)
 
 
 def fdsva_so_seeded(
@@ -237,3 +256,307 @@ def fdsva_so_unrolled(
         -_minv_contract(Mi, inner_cross),
         -_minv_contract(Mi, inner_tau),
     ])
+
+
+# ---------------------------------------------------------------------------
+# Analytical IDSVA-SO (Singh-Russell-Wensing second-order algorithm)
+# ---------------------------------------------------------------------------
+#
+# The direct spatial-vector-algebra second-order algorithm the reference
+# emits (``/root/reference/algorithms/_idsva_so.py:167-912``): world-frame
+# forward quantities (S, v, a, psi-dot, psi-ddot, Sd), composite IC / body-
+# Coriolis BC / force f backward accumulation, the D1-D4 / T1-T4 operators,
+# and the nine outer-product assignment stages over (joint, ancestor,
+# subtree) triples plus the p1-p6 cross-product corrections. Where the
+# reference emits per-thread index maps (``t_index_map``), this
+# implementation runs the stage loops at TRACE time over the static
+# topology, carries every scalar as a (B,)-lane vector, and stacks the
+# (nv, nv, nv) result once at the end — no gather/scatter ops exist in the
+# traced program. ~3-4x fewer FLOPs than the seed-jacobian route (the 2nv
+# JVP sweeps collapse into n^2 6-vector contractions).
+
+
+def _crm_mat(v):
+    """Full motion cross-product matrix (6, 6, B) of v (6, B)."""
+    z = jnp.zeros_like(v[0])
+    w0, w1, w2, v0, v1, v2 = v
+
+    def sk(a, b, c):
+        return [[z, -c, b], [c, z, -a], [-b, a, z]]
+
+    W = sk(w0, w1, w2)
+    V = sk(v0, v1, v2)
+    rows = []
+    for r in range(3):
+        rows.append(jnp.stack(W[r] + [z, z, z]))
+    for r in range(3):
+        rows.append(jnp.stack(V[r] + W[r]))
+    return jnp.stack(rows)
+
+
+def _crf_mat(v):
+    """Force cross-product matrix: crf(v) = -crm(v)^T."""
+    return -jnp.swapaxes(_crm_mat(v), 0, 1)
+
+
+def _icrf_mat(f):
+    """icrf(f) such that crf(w) f = icrf(f) w (reference icrf table)."""
+    z = jnp.zeros_like(f[0])
+    n0, n1, n2, h0, h1, h2 = f
+
+    def sk(a, b, c):
+        return [[z, -c, b], [c, z, -a], [-b, a, z]]
+
+    N = sk(n0, n1, n2)
+    H = sk(h0, h1, h2)
+    rows = []
+    for r in range(3):
+        rows.append(jnp.stack([-x for x in N[r]] + [-x for x in H[r]]))
+    for r in range(3):
+        rows.append(jnp.stack([-x for x in H[r]] + [z, z, z]))
+    return jnp.stack(rows)
+
+
+def _xinv_motion(X):
+    """Inverse of a motion transform = blockwise transpose of its 3x3 blocks."""
+    TL = jnp.swapaxes(X[:3, :3], 0, 1)
+    BL = jnp.swapaxes(X[3:, :3], 0, 1)
+    BR = jnp.swapaxes(X[3:, 3:], 0, 1)
+    Z = jnp.zeros_like(TL)
+    top = jnp.concatenate([TL, Z], axis=1)
+    bot = jnp.concatenate([BL, BR], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def idsva_so_analytical(
+    model: RobotModel,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    qdd: Optional[jnp.ndarray] = None,
+    GRAVITY: float = DEFAULT_GRAVITY,
+) -> jnp.ndarray:
+    """Analytical second-order inverse dynamics: (4, nv, nv, nv, B)
+    [d2tau/dq2, d2tau/dqd2, d2tau/dqd dq, dM/dq] — same layout as
+    :func:`idsva_so` (parity-tested against it)."""
+    from .common import gravity_accel
+    from .spatial import bmm, bmv, dot6
+    from .xforms import all_xmats
+
+    _check_fixed_base(model)
+    n = model.n
+    B = qd.shape[-1]
+    dtype = qd.dtype
+    qdd = jnp.zeros_like(qd) if qdd is None else qdd
+    Xs = all_xmats(model, q)
+    g = gravity_accel(GRAVITY, B, dtype)
+
+    par = model.parent
+    Sind = model.S_ind
+
+    Xup = [None] * n
+    for i in range(n):
+        Xup[i] = Xs[i] if par[i] == -1 else bmm(Xs[i], Xup[par[i]])
+    S = [_xinv_motion(Xup[i])[:, Sind[i]] for i in range(n)]
+
+    v, a, psid, psidd, Sd = ([None] * n for _ in range(5))
+    crm_v = [None] * n
+    zero6 = jnp.zeros((6, B), dtype)
+    for i in range(n):
+        p = par[i]
+        vp = v[p] if p != -1 else zero6
+        ap = a[p] if p != -1 else g
+        crm_vp = crm_v[p] if p != -1 else None
+        vJ = S[i] * qd[i]
+        v[i] = vp + vJ
+        crm_v[i] = _crm_mat(v[i])
+        aJ = S[i] * qdd[i] + (bmv(crm_vp, vJ) if p != -1 else zero6)
+        a[i] = ap + aJ
+        psid[i] = bmv(crm_vp, S[i]) if p != -1 else zero6
+        psidd[i] = (_crm_mat(ap) if p == -1 else None)
+        if p == -1:
+            psidd[i] = bmv(_crm_mat(g), S[i])
+        else:
+            psidd[i] = bmv(_crm_mat(ap), S[i]) + bmv(crm_vp, psid[i])
+        Sd[i] = bmv(crm_v[i], S[i])
+
+    IC = [bmm(jnp.swapaxes(Xup[i], 0, 1),
+              bmm(model.Imat[i][:, :, None] + 0.0 * Xup[i], Xup[i]))
+          for i in range(n)]
+    BC, f = [None] * n, [None] * n
+    for i in range(n):
+        ICv = bmv(IC[i], v[i])
+        crf_vi = -jnp.swapaxes(crm_v[i], 0, 1)
+        BC[i] = (bmm(crf_vi, IC[i]) + _icrf_mat(ICv)
+                 - bmm(IC[i], crm_v[i]))
+        f[i] = bmv(IC[i], a[i]) + bmv(crf_vi, ICv)
+    for i in range(n - 1, -1, -1):
+        p = par[i]
+        if p != -1:
+            IC[p] = IC[p] + IC[i]
+            BC[p] = BC[p] + BC[i]
+            f[p] = f[p] + f[i]
+
+    D1, D2, D3, D4 = ([None] * n for _ in range(4))
+    T1, T2, T3, T4, crfSIC = ([None] * n for _ in range(5))
+    crm_S = [_crm_mat(S[i]) for i in range(n)]
+    crm_psid = [_crm_mat(psid[i]) for i in range(n)]
+    for i in range(n):
+        crf_Si = -jnp.swapaxes(crm_S[i], 0, 1)
+        crf_psidi = -jnp.swapaxes(crm_psid[i], 0, 1)
+        ICS = bmv(IC[i], S[i])
+        ICpsid = bmv(IC[i], psid[i])
+        D1[i] = bmm(crf_Si, IC[i]) - bmm(IC[i], crm_S[i])
+        D2[i] = (bmm(crf_psidi, IC[i]) + _icrf_mat(ICpsid)
+                 - bmm(IC[i], crm_psid[i])
+                 + bmm(crf_Si, BC[i]) - bmm(BC[i], crm_S[i]))
+        D3[i] = D1[i] + _icrf_mat(ICS)
+        D4[i] = _icrf_mat(ICS)  # IC symmetric: IC^T S = IC S
+        T1[i] = ICS
+        T2[i] = -bmv(jnp.swapaxes(BC[i], 0, 1), S[i])
+        T3[i] = (bmv(BC[i], psid[i]) + bmv(IC[i], psidd[i])
+                 + bmv(_icrf_mat(f[i]), S[i]))
+        T4[i] = bmv(BC[i], S[i]) + bmv(IC[i], psid[i] + Sd[i])
+        crfSIC[i] = bmm(crf_Si, IC[i])
+
+    # trace-time output dicts of (B,) lanes
+    zero = jnp.zeros((B,), dtype)
+    dq2 = {}
+    dqd2 = {}
+    dvdq = {}
+    dM = {}
+
+    def triples():
+        for j in range(n):
+            for a_ in list(model.ancestors[j]) + [j]:
+                for st in model.subtree[j]:
+                    yield j, a_, st
+
+    def pairs():
+        for j in range(n):
+            for a_ in list(model.ancestors[j]) + [j]:
+                yield j, a_
+
+    # memoized D-matrix / vector contractions: Dv[(fam, st, vec, k)]
+    _Dv = {}
+
+    def Dv(fam, Dlist, st, vname, vec_list, k):
+        key = (fam, st, vname, k)
+        if key not in _Dv:
+            _Dv[key] = bmv(Dlist[st], vec_list[k])
+        return _Dv[key]
+
+    psid_Sd = [psid[i] + Sd[i] for i in range(n)]
+
+    # t1 = outer(S_j, psid_a)
+    for j, a_, st in triples():
+        w = Dv("3p", D3, st, "psid", psid, a_)
+        val3 = dot6(S[j], w)
+        dvdq[st, a_, j] = -val3
+        if j != st:
+            val2 = dot6(S[j], Dv("2p", D2, st, "psid", psid, a_))
+            dq2[j, st, a_] = val2
+            dq2[j, a_, st] = val2
+            dvdq[j, a_, st] = val3
+    # t2 = outer(S_j, S_a)
+    for j, a_, st in triples():
+        v3 = dot6(S[j], Dv("3S", D3, st, "S", S, a_))
+        if a_ < j:
+            dqd2[st, j, a_] = -v3
+            dqd2[st, a_, j] = -v3
+        elif a_ == j:
+            dqd2[st, j, j] = -dot6(S[j], Dv("1S", D1, st, "S", S, j))
+        if j != st:
+            dqd2[j, st, a_] = v3
+            dqd2[j, a_, st] = v3
+            dvdq[j, st, a_] = dot6(S[j], Dv("2S", D2, st, "S", S, a_))
+    # t3 = outer(psid_j, psid_a)
+    for j, a_, st in triples():
+        v3 = dot6(psid[j], Dv("3p", D3, st, "psid", psid, a_))
+        dq2[st, a_, j] = -v3
+        if a_ < j:
+            dq2[st, j, a_] = -v3
+    # t4 = outer(S_j, psidd_a)
+    for j, a_, st in triples():
+        if j != st:
+            v1 = dot6(S[j], Dv("1pp", D1, st, "psidd", psidd, a_))
+            dq2[j, st, a_] = dq2[j, st, a_] + v1
+            dq2[j, a_, st] = dq2[j, a_, st] + v1
+    # t5 = outer(S_j, (Sd+psid)_a)
+    for j, a_, st in triples():
+        if j != st:
+            dvdq[j, st, a_] = dvdq[j, st, a_] + dot6(
+                S[j], Dv("1sp", D1, st, "psid_Sd", psid_Sd, a_))
+    # t6 = outer(S_a, psid_j)
+    for j, a_, st in triples():
+        if a_ < j:
+            v3 = dot6(S[a_], Dv("3p", D3, st, "psid", psid, j))
+            dvdq[st, j, a_] = -v3
+            dq2[a_, j, st] = dot6(S[a_], Dv("2p", D2, st, "psid", psid, j))
+            dvdq[a_, j, st] = v3
+    # t7 = outer(S_a, psidd_j)
+    for j, a_, st in triples():
+        if a_ < j:
+            dq2[a_, j, st] = dq2[a_, j, st] + dot6(
+                S[a_], Dv("1pp", D1, st, "psidd", psidd, j))
+    # t8 = outer(S_a, S_j)
+    for j, a_, st in triples():
+        if a_ < j:
+            v4 = dot6(S[a_], Dv("4S", D4, st, "S", S, j))
+            dM[a_, j, st] = v4
+            dM[st, j, a_] = v4
+            if st != j:
+                v3 = dot6(S[a_], Dv("3S", D3, st, "S", S, j))
+                dqd2[a_, j, st] = v3
+                dqd2[a_, st, j] = v3
+                dvdq[a_, st, j] = dot6(S[a_], Dv("2S", D2, st, "S", S, j))
+        if j != st:
+            v1 = dot6(S[a_], Dv("1S", D1, st, "S", S, j))
+            dM[a_, st, j] = v1
+            dM[j, st, a_] = v1
+    # t9 = outer(S_a, (Sd+psid)_j)
+    for j, a_, st in triples():
+        if a_ < j and st != j:
+            dvdq[a_, st, j] = dvdq[a_, st, j] + dot6(
+                S[a_], Dv("1sp", D1, st, "psid_Sd", psid_Sd, j))
+            dq2[a_, st, j] = dq2[a_, j, st]
+    # p1..p6 corrections
+    for j, a_ in pairs():
+        p1 = bmv(crm_psid[a_], S[j])
+        p2 = bmv(_crm_mat(psidd[a_]), S[j])
+        p3 = bmv(crm_S[a_], S[j])
+        p4 = (bmv(_crm_mat(psid_Sd[a_]), S[j])
+              - 2.0 * bmv(crm_psid[j], S[a_]))
+        p5 = bmv(crm_S[j], S[a_])
+        for st in model.subtree[j]:
+            c12 = -dot6(p1, T2[st]) + dot6(p2, T1[st])
+            dq2[st, a_, j] = dq2[st, a_, j] + c12
+            if a_ < j:
+                dq2[st, j, a_] = dq2[st, j, a_] + c12
+                dvdq[st, j, a_] = (dvdq[st, j, a_]
+                                   - dot6(p3, T2[st]) + dot6(p4, T1[st]))
+                c5 = dot6(p5, T3[st])
+                dq2[a_, j, st] = dq2[a_, j, st] - c5
+                if st != j:
+                    dq2[a_, st, j] = dq2[a_, st, j] - c5
+                dvdq[a_, j, st] = dvdq[a_, j, st] - dot6(p5, T4[st])
+        if a_ < j:
+            p6 = (bmv(jnp.swapaxes(crm_S[a_], 0, 1), T1[j])
+                  + bmv(jnp.swapaxes(crfSIC[j], 0, 1), S[a_]))
+            dqd2[a_, j, j] = dot6(p6, S[j])
+
+    # stack: cross/dM transpose the last two axes into the oracle layout
+    def tensor(d, transpose):
+        rows = []
+        for i in range(n):
+            cols = []
+            for jj in range(n):
+                ent = []
+                for kk in range(n):
+                    key = (i, kk, jj) if transpose else (i, jj, kk)
+                    ent.append(d.get(key, zero))
+                cols.append(jnp.stack(ent))
+            rows.append(jnp.stack(cols))
+        return jnp.stack(rows)
+
+    return jnp.stack([tensor(dq2, False), tensor(dqd2, False),
+                      tensor(dvdq, True), tensor(dM, True)])

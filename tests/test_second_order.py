@@ -77,3 +77,23 @@ def test_idsva_symmetries(setup):
     T = np.asarray(jax.jit(idsva_so)(model, q, qd, qdd))
     np.testing.assert_allclose(T[0], np.swapaxes(T[0], 1, 2), atol=1e-9)
     np.testing.assert_allclose(T[1], np.swapaxes(T[1], 1, 2), atol=1e-9)
+
+
+@pytest.mark.parametrize("name", ["iiwa", "hyq", "mixed5"])
+def test_analytical_idsva_matches_seeded(name):
+    """The analytical SVA second-order algorithm == the independent
+    JVP-seeded route on serial, branched, and prismatic robots."""
+    from gridcodegenerator_tpu.models.model import build_model
+    from gridcodegenerator_tpu.models.zoo import load_robot
+    from gridcodegenerator_tpu.ops import so as _so
+
+    model = build_model(load_robot(name), dtype=jnp.float64)
+    rng = np.random.default_rng(11)
+    n = model.n
+    q = jnp.asarray(rng.uniform(-1, 1, (n, 3)))
+    qd = jnp.asarray(rng.uniform(-1, 1, (n, 3)))
+    qdd = jnp.asarray(rng.uniform(-1, 1, (n, 3)))
+    A = np.asarray(_so.idsva_so_analytical(model, q, qd, qdd))
+    Sd = np.asarray(_so.idsva_so_seeded(model, q, qd, qdd))
+    scale = max(1.0, float(np.max(np.abs(Sd))))
+    np.testing.assert_allclose(A, Sd, atol=1e-10 * scale)
