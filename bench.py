@@ -49,7 +49,9 @@ def main():
     def solve_cost(x0_, U0_):
         return solve(x0_, U0_).cost
 
-    dt = time_kernel(solve_cost, (x0, U0), iters=3)
+    # 10 in-jit repeats: the remote-TPU program-launch overhead is ~28 ms
+    # fixed per dispatch; fewer repeats inflate the per-solve time
+    dt = time_kernel(solve_cost, (x0, U0), iters=10)
     solves_per_s = B / dt
     print(json.dumps({
         "metric": "mpc_solves_per_s_per_chip_iiwa_N64",

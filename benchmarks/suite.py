@@ -22,7 +22,9 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--algos", type=str, default=None,
                     help="comma-separated subset (default: all)")
-    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=200,
+                    help="in-jit repeats; must dominate the ~28 ms fixed "
+                         "remote-dispatch overhead for accurate per-call us")
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--profile", type=str, default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the benchmarked "
