@@ -87,7 +87,7 @@ class GRiD:
         gravity: float = DEFAULT_GRAVITY,
         floating_base: bool = False,
         use_pallas: Optional[bool] = None,
-        block_b: int = 256,
+        block_b: Optional[int] = None,
         ee_targets: Optional[Sequence[str]] = None,
     ):
         """``use_pallas``: run the fused single-kernel tier (default: auto —
@@ -110,8 +110,7 @@ class GRiD:
             use_pallas = (not self.model.floating_base
                           and jax.default_backend() == "tpu")
         self.use_pallas = bool(use_pallas) and not self.model.floating_base
-        self.block_b = (block_b if block_b != 256
-                        else _pk.default_block_b(self.model))
+        self.block_b = _pk.default_block_b(self.model, block_b)
 
     # ------------------------------------------------------------------
     # layout shims: user (B, dim) <-> kernel (dim, B)
@@ -299,7 +298,11 @@ class GRiD:
 
     def idsva_so(self, q, qd, qdd=None):
         """Second-order ID tensors [d2tau/dq2, d2tau/dqd2, cross, dM/dq]:
-        (B, 4, nv, nv, nv)."""
+        (B, 4, nv, nv, nv).
+
+        ``qdd`` defaults to ZEROS. The reference's kernels take the realized
+        accelerations — pass qdd (e.g. from :meth:`fd`) whenever the tensors
+        must be consistent with a trajectory."""
         qk, ub = self._in(q, self.num_pos)
         qdk, _ = self._in(qd, self.num_vel)
         qddk = (jnp.zeros_like(qdk) if qdd is None
@@ -348,7 +351,8 @@ class GRiD:
         out = self._run(self._d2eepos, "d2eepos",
                         lambda: _pk.d2eepos_pallas(self.model,
                                                    self.ee_targets),
-                        (qk,), block=_pk.so_block_b(self.model))
+                        (qk,), block=_pk.so_block_b(self.model),
+                        enabled=_pk.ee_hess_fits(self.model, self.num_ees))
         return self._out(out, ub)
 
     # -- packed-input convenience (gridData q_qd_u layout parity) ---------

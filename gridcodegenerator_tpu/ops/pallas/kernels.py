@@ -198,6 +198,13 @@ def so_fits(model: RobotModel) -> bool:
     return model.num_vel <= SO_MAX_NV
 
 
+def ee_hess_fits(model: RobotModel, num_ees: int) -> bool:
+    """VMEM-fit gate for the fused EE-Hessian kernel (the ``so_fits`` analog
+    for d2eepos): (6*num_ees, n, n) outputs plus the unrolled seed passes
+    must fit the budget; oversized robots silently take the XLA path."""
+    return model.num_pos * model.num_pos * num_ees <= 6 * SO_MAX_NV ** 2
+
+
 def so_block_b(model: RobotModel, block_b: Optional[int] = None) -> int:
     """Default second-order batch tile (the reference's MEMORY_THRESHOLD
     analog, ``_fdsva_so.py:1``: n^3 outputs + jacfwd seeds must fit VMEM, so
@@ -215,10 +222,7 @@ def idsva_so_pallas(model: RobotModel, gravity: float,
             "larger robots use the XLA path (HBM-resident outputs)")
     n, nv = model.n, model.num_vel
     bb = so_block_b(model, block_b)
-    # interpret mode keeps the compact jacfwd body (same math, tractable to
-    # interpret); Mosaic gets the unrolled variant (no vmap'd seed axis)
-    body = _so.idsva_so if interpret else _so.idsva_so_unrolled
-    fn, consts = _bind(model, lambda m, q, qd, qdd: body(
+    fn, consts = _bind(model, lambda m, q, qd, qdd: _so.idsva_so_unrolled(
         m, q, qd, qdd, gravity))
     return fuse_batched(fn, [(n,)] * 3, [(4, nv, nv, nv)], consts=consts,
                         dtype=model.Imat.dtype, block_b=bb,
@@ -235,8 +239,7 @@ def fdsva_so_pallas(model: RobotModel, gravity: float,
             "larger robots use the XLA path (HBM-resident outputs)")
     n, nv = model.n, model.num_vel
     bb = so_block_b(model, block_b)
-    body = _so.fdsva_so if interpret else _so.fdsva_so_unrolled
-    fn, consts = _bind(model, lambda m, q, qd, u: body(
+    fn, consts = _bind(model, lambda m, q, qd, u: _so.fdsva_so_unrolled(
         m, q, qd, u, gravity))
     return fuse_batched(fn, [(n,)] * 3, [(4, nv, nv, nv)], consts=consts,
                         dtype=model.Imat.dtype, block_b=bb,

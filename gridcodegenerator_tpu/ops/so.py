@@ -65,12 +65,28 @@ def idsva_so(
     """Second-order inverse dynamics: (4, nv, nv, nv, B) stacked tensors
     [d2tau/dq2, d2tau/dqd2, d2tau/dqd dq, dM/dq].
 
-    On TPU backends dispatches to the analytical SVA algorithm
-    (:func:`idsva_so_analytical`); the jacfwd form below is the
-    independent cross-check used by the test suite on CPU."""
+    Always the analytical SVA algorithm (:func:`idsva_so_analytical`) —
+    correct on every backend; the vmap'd-jacfwd route is kept only as the
+    test-suite cross-check (:func:`idsva_so_jacfwd`), since it mislowers
+    numerically in f32 on TPU (see :func:`fdsva_so_jacfwd`).
+
+    ``qdd`` defaults to zeros. The reference's second-order kernels take the
+    realized qdd — pass it (e.g. from ``fd``/``aba``) whenever the tensors
+    must be consistent with a trajectory's accelerations."""
+    return idsva_so_analytical(model, q, qd, qdd, GRAVITY)
+
+
+def idsva_so_jacfwd(
+    model: RobotModel,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    qdd: Optional[jnp.ndarray] = None,
+    GRAVITY: float = DEFAULT_GRAVITY,
+) -> jnp.ndarray:
+    """Independent cross-check route: vmap'd nested jacfwd through the
+    analytical first-order kernels. Test oracle only — not dispatched by the
+    public API (on TPU this lowering is numerically unreliable in f32)."""
     _check_fixed_base(model)
-    if jax.default_backend() == "tpu":
-        return idsva_so_analytical(model, q, qd, qdd, GRAVITY)
     nv = model.num_vel
 
     def dc_du_sample(qs, qds, qdds):
@@ -102,17 +118,28 @@ def fdsva_so(
 ) -> jnp.ndarray:
     """Second-order forward dynamics: (4, nv, nv, nv, B) stacked tensors
     [d2qdd/dq2, d2qdd/dqd2, d2qdd/dqd dq, d2qdd/dtau dq] — the reference
-    FDSVA-SO output set (``_fdsva_so.py:52-83``)."""
-    # On TPU backends the vmap'd-jacfwd form of THIS tensor (jvp through
-    # minv/fd_grad) lowers to something numerically unreliable in f32:
-    # isolated samples come out orders of magnitude off (max err ~1.6e3 vs
-    # an f64 oracle where the seed-unrolled form errs ~6; CPU f32 is fine
-    # both ways, so it is a TPU lowering artifact, not conditioning). The
-    # unrolled form is also what the fused Pallas kernel runs, so TPU gets
-    # it on the XLA path too.
+    FDSVA-SO output set (``_fdsva_so.py:52-83``).
+
+    Always the implicit-function composition over the analytical IDSVA-SO
+    tensors (:func:`fdsva_so_unrolled`) — one route on every backend."""
+    return fdsva_so_unrolled(model, q, qd, u, GRAVITY)
+
+
+def fdsva_so_jacfwd(
+    model: RobotModel,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    u: jnp.ndarray,
+    GRAVITY: float = DEFAULT_GRAVITY,
+) -> jnp.ndarray:
+    """Independent cross-check route: vmap'd nested jacfwd through fd_grad.
+
+    Test oracle only. On TPU the vmap'd-jacfwd form of this tensor (jvp
+    through minv/fd_grad) lowers to something numerically unreliable in f32:
+    isolated samples come out orders of magnitude off (max err ~1.6e3 vs an
+    f64 oracle where the seed-unrolled form errs ~6; CPU f32 is fine both
+    ways, so it is a TPU lowering artifact, not conditioning)."""
     _check_fixed_base(model)
-    if jax.default_backend() == "tpu":
-        return fdsva_so_unrolled(model, q, qd, u, GRAVITY)
     nv = model.num_vel
 
     def df_du_sample(qs, qds, us):

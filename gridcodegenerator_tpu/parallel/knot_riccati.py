@@ -44,6 +44,10 @@ def sharded_lqr_gains(mesh: Mesh, axis_name: str = "kp",
 
     Shapes as in ``priccati.suffix_value_functions``; returns ``(ks, Ks)``
     of shapes ``(N, nu, B)`` / ``(N, nu, nx, B)``, knot-sharded.
+
+    ``reg`` enters only the final gain solves; the value propagation uses
+    the exact (unregularized) elements so the sweep matches a sequential
+    Riccati recursion to O(reg^2) (see ``priccati.suffix_value_functions``).
     """
     D = mesh.shape[axis_name]
 
@@ -53,8 +57,7 @@ def sharded_lqr_gains(mesh: Mesh, axis_name: str = "kp",
         lanes = Amat.shape[3:]
 
         def stage_elem(A, B_, lx_t, lu_t, lxx_t, luu_t, lux_t):
-            I_u = jnp.eye(nu, dtype=dtype)[:, :, None]
-            Uinv = gj_inverse(luu_t + reg * I_u)
+            Uinv = gj_inverse(luu_t)
             UiW = bmm(Uinv, lux_t)
             Uilu = bmv(Uinv, lu_t)
             BT = jnp.swapaxes(B_, 0, 1)

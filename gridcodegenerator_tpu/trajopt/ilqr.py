@@ -240,8 +240,12 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
 
         if cfg.parallel_riccati and not cfg.use_second_order:
             from .priccati import suffix_value_functions
+            # reg=0: propagate the exact (unregularized) value recursion, as
+            # the sequential scan does — reg enters only the gain solves
+            # below, so parallel and sequential sweeps agree to O(reg^2)
+            # (V is stationary w.r.t. gains at the unregularized optimum)
             Vx_all, Vxx_all = suffix_value_functions(
-                Amat, Bmat, lx, lu, lxx, luu, lux, Vx0, Vxx0, reg=cfg.reg)
+                Amat, Bmat, lx, lu, lxx, luu, lux, Vx0, Vxx0, reg=0.0)
 
             def gain_t(A, Bm, lu_t, luu_t, lux_t, Vx, Vxx):
                 Bt = jnp.swapaxes(Bm, 0, 1)

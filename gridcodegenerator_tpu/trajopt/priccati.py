@@ -65,6 +65,12 @@ def suffix_value_functions(Amat, Bmat, lx, lu, lxx, luu, lux,
 
     Returns ``(Vx, Vxx)`` with shapes ``(N+1, nx, B)`` / ``(N+1, nx, nx, B)``:
     the quadratic value expansion at every knot (index N = terminal).
+
+    ``reg`` folds a Levenberg term into the value PROPAGATION (U = luu +
+    reg I inside every element), which differs from a sequential sweep that
+    regularizes only the gain inverses — pass ``reg=0`` (as ``ilqr`` does)
+    and regularize the final gain solves separately when sequential parity
+    matters; keep ``reg>0`` only to rescue a near-singular ``luu``.
     """
     N, nx = Amat.shape[0], Amat.shape[1]
     nu = Bmat.shape[2]

@@ -28,7 +28,15 @@ import numpy as np
 
 def assert_finite(x: jnp.ndarray, name: str = "array") -> jnp.ndarray:
     """Functional guard: returns ``x``; raises on non-finite entries when
-    the (jitted) caller's outputs are materialized."""
+    the (jitted) caller's outputs are materialized.
+
+    Error-delivery semantics (mirror of CUDA's async error model, where a
+    failed kernel surfaces at the next ``cudaDeviceSynchronize``): on CPU /
+    eager paths the ``FloatingPointError`` raises at call time; under ``jit``
+    on TPU the callback runs asynchronously, so the error surfaces at the
+    next synchronization point — typically wrapped in an
+    ``XlaRuntimeError`` whose cause carries this message — not necessarily
+    at the offending call site."""
     bad = jnp.logical_not(jnp.all(jnp.isfinite(x)))
 
     def _raise(b):

@@ -128,10 +128,10 @@ def test_unrolled_variants_match_jacfwd():
     q, qd, u = (jnp.asarray(rng.uniform(-1, 1, (model.n, 4)))
                 for _ in range(3))
     for a_fn, b_fn, args in [
-        (_so.idsva_so, _so.idsva_so_unrolled, (q, qd, u)),
-        (_so.fdsva_so, _so.fdsva_so_unrolled, (q, qd, u)),
-        (_eepose.deepos, _eepose.deepos_unrolled, (q,)),
-        (_eepose.d2eepos, _eepose.d2eepos_unrolled, (q,)),
+        (_so.idsva_so_jacfwd, _so.idsva_so_unrolled, (q, qd, u)),
+        (_so.fdsva_so_jacfwd, _so.fdsva_so_unrolled, (q, qd, u)),
+        (_eepose.deepos_jacfwd, _eepose.deepos_unrolled, (q,)),
+        (_eepose.d2eepos_jacfwd, _eepose.d2eepos_unrolled, (q,)),
     ]:
         A = jax.jit(lambda *x, _f=a_fn: _f(model, *x))(*args)
         B_ = jax.jit(lambda *x, _f=b_fn: _f(model, *x))(*args)
@@ -153,9 +153,9 @@ def test_eepose_pallas(setup):
         (pk.eepos_pallas(model, block_b=16, interpret=True),
          lambda m, qq: _eepose.eepos(m, qq, poly_atan2=True)),
         (pk.deepos_pallas(model, block_b=16, interpret=True),
-         lambda m, qq: _eepose.deepos(m, qq, poly_atan2=True)),
+         lambda m, qq: _eepose.deepos_jacfwd(m, qq, poly_atan2=True)),
         (pk.d2eepos_pallas(model, block_b=16, interpret=True),
-         lambda m, qq: _eepose.d2eepos(m, qq, poly_atan2=True)),
+         lambda m, qq: _eepose.d2eepos_jacfwd(m, qq, poly_atan2=True)),
     ]:
         out_p = build(q)
         out_x = jax.jit(lambda qq, _r=ref: _r(model, qq))(q)
