@@ -13,8 +13,11 @@ the floating block keeps einsum on the XLA path.
 
 from __future__ import annotations
 
+import functools
+
 from typing import List
 
+import jax
 import jax.numpy as jnp
 
 from ..models.model import RobotModel
@@ -22,6 +25,11 @@ from .common import DEFAULT_GRAVITY, S_matrix, e_vec, gravity_accel, vel_layout
 from .minv import _inv66
 from .spatial import Mv, XTMX, XTv, Xv, cross_fv, cross_mv, dot6, outer6
 from .xforms import all_xmats
+
+# einsum pinned to full f32 accumulation: TPU dot_general defaults to
+# bf16 MXU precision, unacceptable for dynamics (see ops/xforms.py)
+_es = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 
 
 def aba(
@@ -31,6 +39,7 @@ def aba(
     u: jnp.ndarray,
     GRAVITY: float = DEFAULT_GRAVITY,
     Xs=None,
+    return_stages: bool = False,
 ) -> jnp.ndarray:
     """qdd = ABA(q, qd, u): (nv, B)."""
     n = model.n
@@ -78,15 +87,15 @@ def aba(
                     pA[p] = pA[p] + XTv(Xs[i], pa)
             else:
                 S = jnp.asarray(S_matrix(model, i), dtype)
-                Ui = jnp.einsum("ijb,jk->ikb", IA[i], S)
-                Di = jnp.einsum("jk,jlb->klb", S, Ui)
+                Ui = _es("ijb,jk->ikb", IA[i], S)
+                Di = _es("jk,jlb->klb", S, Ui)
                 Dinv_i = _inv66(Di)
-                uu_i = u[off:off + 6] - jnp.einsum("jk,jb->kb", S, pA[i])
+                uu_i = u[off:off + 6] - _es("jk,jb->kb", S, pA[i])
                 U[i], Dinv[i], uu[i] = Ui, Dinv_i, uu_i
                 if p != -1:
-                    Ia = IA[i] - jnp.einsum("ikb,klb,jlb->ijb", Ui, Dinv_i, Ui)
+                    Ia = IA[i] - _es("ikb,klb,jlb->ijb", Ui, Dinv_i, Ui)
                     pa = (pA[i] + Xv(Ia, cb[i])
-                          + jnp.einsum("ikb,klb,lb->ib", Ui, Dinv_i, uu_i))
+                          + _es("ikb,klb,lb->ib", Ui, Dinv_i, uu_i))
                     IA[p] = IA[p] + XTMX(Xs[i], Ia)
                     pA[p] = pA[p] + XTv(Xs[i], pa)
 
@@ -103,8 +112,20 @@ def aba(
                 a[i] = a_p + e_vec(model.S_ind[i], qdd_i)
                 qdd_rows[i] = qdd_i[None]
             else:
-                rhs = uu[i] - jnp.einsum("ikb,ib->kb", U[i], a_p)
-                qdd_i = jnp.einsum("klb,lb->kb", Dinv[i], rhs)
+                rhs = uu[i] - _es("ikb,ib->kb", U[i], a_p)
+                qdd_i = _es("klb,lb->kb", Dinv[i], rhs)
                 a[i] = a_p + qdd_i
                 qdd_rows[i] = qdd_i
-    return jnp.concatenate(qdd_rows, axis=0)
+    qdd = jnp.concatenate(qdd_rows, axis=0)
+    if return_stages:
+        # staged-dump hook (utils/debug.py; reference DEBUG_MODE sites in
+        # _aba.py). Fixed-base only: the floating block's U/Dinv/uu have
+        # 6-wide shapes that do not stack per joint.
+        stages = {
+            "v": jnp.stack(v), "cbias": jnp.stack(cb),
+            "pA": jnp.stack(pA), "U": jnp.stack(U),
+            "Dinv": jnp.stack(Dinv), "uu": jnp.stack(uu),
+            "a": jnp.stack(a), "qdd": qdd,
+        }
+        return qdd, stages
+    return qdd

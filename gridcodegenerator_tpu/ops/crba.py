@@ -12,12 +12,20 @@ inertias are functional values here. 1-dof joints use one-hot column selects
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from ..models.model import RobotModel
 from .common import S_matrix, eye2d, vel_layout
 from .spatial import XTMX, XTv
 from .xforms import all_xmats
+
+# einsum pinned to full f32 accumulation: TPU dot_general defaults to
+# bf16 MXU precision, unacceptable for dynamics (see ops/xforms.py)
+_es = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 
 
 def crba(model: RobotModel, q: jnp.ndarray, Xs=None) -> jnp.ndarray:
@@ -61,16 +69,16 @@ def crba(model: RobotModel, q: jnp.ndarray, Xs=None) -> jnp.ndarray:
     for i in range(n):
         off_i, d_i = vl[i]
         S_i = jnp.asarray(S_matrix(model, i), dtype)
-        fh = jnp.einsum("ijb,jk->ikb", Ic[i], S_i)
-        diag = jnp.einsum("jk,jlb->klb", S_i, fh)
+        fh = _es("ijb,jk->ikb", Ic[i], S_i)
+        diag = _es("jk,jlb->klb", S_i, fh)
         M = M.at[off_i:off_i + d_i, off_i:off_i + d_i].set(diag)
         j = i
         while model.parent[j] != -1:
-            fh = jnp.einsum("jib,jkb->ikb", Xs[j], fh)
+            fh = _es("jib,jkb->ikb", Xs[j], fh)
             j = model.parent[j]
             off_j, d_j = vl[j]
             S_j = jnp.asarray(S_matrix(model, j), dtype)
-            blk = jnp.einsum("jk,jlb->klb", S_j, fh)
+            blk = _es("jk,jlb->klb", S_j, fh)
             M = M.at[off_j:off_j + d_j, off_i:off_i + d_i].set(blk)
             M = M.at[off_i:off_i + d_i, off_j:off_j + d_j].set(
                 jnp.swapaxes(blk, 0, 1))

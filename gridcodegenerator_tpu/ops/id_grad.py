@@ -51,6 +51,7 @@ def id_grad_inner(
     a: List[jnp.ndarray],
     f: List[jnp.ndarray],
     GRAVITY: float = DEFAULT_GRAVITY,
+    return_stages: bool = False,
 ) -> jnp.ndarray:
     """dc_du (nv, 2*nv, B) given RNEA intermediates (accumulated f).
 
@@ -151,6 +152,7 @@ def id_grad_inner(
                   + _Xcols(FxvI[i], Dvqd[i]))
 
     # ---- stage 5: backward df accumulation + extraction ------------------
+    Dfq_body, Dfd_body = list(Dfq), list(Dfd)  # pre-accumulation snapshot
     for lvl in reversed(model.bfs_levels):
         for i in lvl:
             p = model.parent[i]
@@ -175,7 +177,20 @@ def id_grad_inner(
                              + model.damping[i] * onehot(off, nv, dtype))[None])
     dcq = jnp.concatenate(dcq_rows, axis=0)   # (nv, nv, B)
     dcd = jnp.concatenate(dcd_rows, axis=0)
-    return jnp.concatenate([dcq, dcd], axis=1)  # (nv, 2nv, B)
+    dc_du = jnp.concatenate([dcq, dcd], axis=1)  # (nv, 2nv, B)
+    if return_stages:
+        # staged-dump hook (utils/debug.py, the reference's DEBUG_MODE
+        # analog for this kernel, _inverse_dynamics_gradient.py:100-171)
+        stages = {
+            "dv_dq": jnp.stack(Dvq), "dv_dqd": jnp.stack(Dvqd),
+            "da_dq": jnp.stack(Daq), "da_dqd": jnp.stack(Dad),
+            "df_dq_body": jnp.stack(Dfq_body),
+            "df_dqd_body": jnp.stack(Dfd_body),
+            "df_dq": jnp.stack(Dfq), "df_dqd": jnp.stack(Dfd),
+            "dc_du": dc_du,
+        }
+        return dc_du, stages
+    return dc_du
 
 
 def id_grad_seeded(

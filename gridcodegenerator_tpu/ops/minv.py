@@ -23,8 +23,11 @@ upper-triangular factor exactly as the reference's SYMMETRIC_UPPER layout.
 
 from __future__ import annotations
 
+import functools
+
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,6 +35,11 @@ from ..models.model import RobotModel
 from .common import S_matrix, eye2d, onehot, rowmask_ge, vel_layout
 from .spatial import XTMX, XTcols, Xcols, XTv, outer6
 from .xforms import all_xmats
+
+# einsum pinned to full f32 accumulation: TPU dot_general defaults to
+# bf16 MXU precision, unacceptable for dynamics (see ops/xforms.py)
+_es = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 
 
 def _inv66(D):
@@ -95,12 +103,12 @@ def minv_factors(model: RobotModel, q: jnp.ndarray, Xs=None):
                     IA[p] = IA[p] + XTMX(Xs[i], Ia)
             else:  # floating 6-dof block (XLA path)
                 S = jnp.asarray(S_matrix(model, i), dtype)
-                Ui = jnp.einsum("ijb,jk->ikb", IA[i], S)
-                Di = jnp.einsum("jk,jlb->klb", S, Ui)
+                Ui = _es("ijb,jk->ikb", IA[i], S)
+                Di = _es("jk,jlb->klb", S, Ui)
                 Dinv_i = _inv66(Di)
                 U[i], Dinv[i] = Ui, Dinv_i
-                SF = jnp.einsum("jk,jcb->kcb", S, F[i])
-                rows = -jnp.einsum("klb,lcb->kcb", Dinv_i, SF)
+                SF = _es("jk,jcb->kcb", S, F[i])
+                rows = -_es("klb,lcb->kcb", Dinv_i, SF)
                 rows = rows * sub_mask[i][None]
                 # keep the SYMMETRIC_UPPER convention: store only the upper
                 # triangle of the (symmetric) diagonal block, else densify
@@ -109,14 +117,14 @@ def minv_factors(model: RobotModel, q: jnp.ndarray, Xs=None):
                 rows = rows.at[:, off:off + d].add(Dinv_i * triu)
                 Minv = Minv.at[off:off + d].add(rows)
                 if p != -1:
-                    Fi = F[i] + jnp.einsum(
+                    Fi = F[i] + _es(
                         "ikb,kcb->icb", Ui,
                         Minv[off:off + d]) * sub_mask[i][None]
                     F[i] = Fi
                     if F[p] is None:
                         F[p] = zeros_F()
                     F[p] = F[p] + XTcols(Xs[i], Fi)
-                    UDUt = jnp.einsum("ikb,klb,jlb->ijb", Ui, Dinv_i, Ui)
+                    UDUt = _es("ikb,klb,jlb->ijb", Ui, Dinv_i, Ui)
                     IA[p] = IA[p] + XTMX(Xs[i], IA[i] - UDUt)
 
     # ---- forward pass (serial over joints; full-width compute masked to the
@@ -143,14 +151,14 @@ def minv_factors(model: RobotModel, q: jnp.ndarray, Xs=None):
             cols = slice(off, nv)
             S = jnp.asarray(S_matrix(model, i), dtype)
             if p != -1:
-                UX = jnp.einsum("ikb,ijb->kjb", U[i], Xs[i])
-                corr = jnp.einsum("klb,ljb,jcb->kcb",
+                UX = _es("ikb,ijb->kjb", U[i], Xs[i])
+                corr = _es("klb,ljb,jcb->kcb",
                                   Dinv[i], UX, F[p][:, cols])
                 Minv = Minv.at[off:off + d, cols].add(-corr)
-                Fi_new = (jnp.einsum("jk,kcb->jcb", S, Minv[off:off + d, cols])
+                Fi_new = (_es("jk,kcb->jcb", S, Minv[off:off + d, cols])
                           + Xcols(Xs[i], F[p][:, cols]))
             else:
-                Fi_new = jnp.einsum("jk,kcb->jcb", S, Minv[off:off + d, cols])
+                Fi_new = _es("jk,kcb->jcb", S, Minv[off:off + d, cols])
             F[i] = F[i].at[:, cols].set(Fi_new)
 
     extras = dict(U=U, Dinv=Dinv, F=F, Xs=Xs)

@@ -361,6 +361,7 @@ def idsva_so_analytical(
     qd: jnp.ndarray,
     qdd: Optional[jnp.ndarray] = None,
     GRAVITY: float = DEFAULT_GRAVITY,
+    return_stages: bool = False,
 ) -> jnp.ndarray:
     """Analytical second-order inverse dynamics: (4, nv, nv, nv, B)
     [d2tau/dq2, d2tau/dqd2, d2tau/dqd dq, dM/dq] — same layout as
@@ -585,5 +586,20 @@ def idsva_so_analytical(
             rows.append(jnp.stack(cols))
         return jnp.stack(rows)
 
-    return jnp.stack([tensor(dq2, False), tensor(dqd2, False),
-                      tensor(dvdq, True), tensor(dM, True)])
+    out = jnp.stack([tensor(dq2, False), tensor(dqd2, False),
+                     tensor(dvdq, True), tensor(dM, True)])
+    if return_stages:
+        # staged-dump hook (utils/debug.py; reference DEBUG sites through
+        # _idsva_so.py stages: forward kinematic quantities, composite
+        # backward accumulation, T-vectors, final tensors)
+        stages = {
+            "v": jnp.stack(v), "a": jnp.stack(a),
+            "psid": jnp.stack(psid), "psidd": jnp.stack(psidd),
+            "Sd": jnp.stack(Sd), "IC": jnp.stack(IC),
+            "BC": jnp.stack(BC), "f": jnp.stack(f),
+            "T1": jnp.stack(T1), "T2": jnp.stack(T2),
+            "T3": jnp.stack(T3), "T4": jnp.stack(T4),
+            "idsva_so": out,
+        }
+        return out, stages
+    return out

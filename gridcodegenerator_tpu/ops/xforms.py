@@ -15,8 +15,30 @@ from __future__ import annotations
 from typing import List, Optional
 
 import jax.numpy as jnp
+from jax import lax
 
 from ..models.model import RobotModel
+
+
+def _mm3_const(E, M):
+    """(3, 3, B) x (3, m) constant -> (3, m, B), unrolled over the 3-wide
+    contraction. Never an einsum: on TPU a dot_general defaults to bf16 MXU
+    precision, which would inject ~1e-3 relative error into every X(q) and
+    poison the whole dynamics suite; unrolled elementwise ops stay exact f32
+    on the VPU (and lower through Mosaic inside the fused kernels)."""
+    # explicit lax slices: slice+newaxis mixed indexing rewrites to a
+    # gather, which Mosaic rejects inside the fused kernels
+    Mb = lax.expand_dims(M, (2,))                       # (3, m, 1)
+    terms = [lax.slice_in_dim(E, k, k + 1, axis=1)
+             * lax.slice_in_dim(Mb, k, k + 1, axis=0) for k in range(3)]
+    return terms[0] + terms[1] + terms[2]
+
+
+def _mm3_batched(E, sk):
+    """(3, 3, B) x (3, 3, B) -> (3, 3, B), unrolled (same rationale)."""
+    terms = [lax.slice_in_dim(E, k, k + 1, axis=1)
+             * lax.slice_in_dim(sk, k, k + 1, axis=0) for k in range(3)]
+    return terms[0] + terms[1] + terms[2]
 
 
 def _rot_E(axis: int, c, s):
@@ -38,8 +60,8 @@ def joint_xmat(model: RobotModel, i: int, qi) -> jnp.ndarray:
     if model.jtype[i] == "revolute":
         c, s = jnp.cos(qi), jnp.sin(qi)
         E = _rot_E(model.S_ind[i] % 3, c, s)      # (3,3,B)
-        top = jnp.einsum("ikb,kj->ijb", E, XT[:3, :])   # (3,6,B)
-        bot = jnp.einsum("ikb,kj->ijb", E, XT[3:, :])
+        top = _mm3_const(E, XT[:3, :])   # (3,6,B)
+        bot = _mm3_const(E, XT[3:, :])
         return jnp.concatenate([top, bot], axis=0)
     if model.jtype[i] == "prismatic":
         # X = [[I,0],[-skew(q e_k), I]] @ XT
@@ -52,7 +74,7 @@ def joint_xmat(model: RobotModel, i: int, qi) -> jnp.ndarray:
         }[k]
         sk = jnp.stack([jnp.stack(r) for r in sk_rows])  # (3,3,B)
         top = jnp.broadcast_to(XT[:3, :, None], (3, 6, qi.shape[0]))
-        bot = XT[3:, :, None] - jnp.einsum("ikb,kj->ijb", sk, XT[:3, :])
+        bot = XT[3:, :, None] - _mm3_const(sk, XT[:3, :])
         return jnp.concatenate([top, bot], axis=0)
     raise NotImplementedError(model.jtype[i])
 
@@ -76,7 +98,7 @@ def floating_xmat(q7) -> jnp.ndarray:
         jnp.stack([p[2], zz, -p[0]]),
         jnp.stack([-p[1], p[0], zz]),
     ])
-    bl = -jnp.einsum("ikb,kjb->ijb", E, sk)
+    bl = -_mm3_batched(E, sk)
     z36 = jnp.zeros_like(bl)
     top = jnp.concatenate([E, z36], axis=1)
     bot = jnp.concatenate([bl, E], axis=1)

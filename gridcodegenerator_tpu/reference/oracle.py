@@ -98,7 +98,7 @@ def rnea(robot, q, qd, qdd=None, GRAVITY=DEFAULT_GRAVITY):
 # Direct Minv (Carpentier analytical inverse of the joint-space inertia matrix)
 # ---------------------------------------------------------------------------
 
-def minv(robot, q, output_dense: bool = True):
+def minv(robot, q, output_dense: bool = True, return_stages: bool = False):
     """M(q)^-1 via the articulated-body factorized analytical inverse."""
     n = robot.get_num_joints()
     Minv = np.zeros((n, n))
@@ -132,6 +132,14 @@ def minv(robot, q, output_dense: bool = True):
         if p != -1:
             F[i][:, i:] += X[i] @ F[p][:, i:]
 
+    if return_stages:
+        # staged-dump hook (utils/debug.py; reference DEBUG sites
+        # _direct_minv.py:72-79): per-pass U, Dinv, final F, upper factor
+        Minv_upper = Minv.copy()
+        iu = np.triu_indices(n, 1)
+        Minv[(iu[1], iu[0])] = Minv[iu]
+        return Minv, {"U": U, "Dinv": Dinv, "F": F,
+                      "Minv_upper": Minv_upper, "Minv": Minv}
     if output_dense:
         iu = np.triu_indices(n, 1)
         Minv[(iu[1], iu[0])] = Minv[iu]
@@ -175,7 +183,7 @@ def forward_dynamics(robot, q, qd, u, GRAVITY=DEFAULT_GRAVITY):
     return minv(robot, q, True) @ (u - c)
 
 
-def aba(robot, q, qd, u, GRAVITY=DEFAULT_GRAVITY):
+def aba(robot, q, qd, u, GRAVITY=DEFAULT_GRAVITY, return_stages=False):
     """Articulated-body algorithm forward dynamics (Featherstone ch. 7).
 
     Includes joint damping as an extra bias torque so that
@@ -222,6 +230,10 @@ def aba(robot, q, qd, u, GRAVITY=DEFAULT_GRAVITY):
         a_p = X[i] @ (gvec if p == -1 else a[:, p]) + cbias[:, i]
         qdd[i] = (uu[i] - U[:, i] @ a_p) / d[i]
         a[:, i] = a_p + robot.get_S_by_id(i) * qdd[i]
+    if return_stages:
+        # staged-dump hook; pA/U/uu hold the post-backward accumulated values
+        return qdd, {"v": v, "cbias": cbias, "pA": pA, "U": U,
+                     "Dinv": 1.0 / d, "uu": uu, "a": a, "qdd": qdd}
     return qdd
 
 
@@ -229,7 +241,8 @@ def aba(robot, q, qd, u, GRAVITY=DEFAULT_GRAVITY):
 # Analytical first-order gradients
 # ---------------------------------------------------------------------------
 
-def rnea_grad_inner(robot, q, qd, v, a, f, GRAVITY=DEFAULT_GRAVITY):
+def rnea_grad_inner(robot, q, qd, v, a, f, GRAVITY=DEFAULT_GRAVITY,
+                    return_stages=False):
     """dc/dq, dc/dqd given RNEA intermediates (reference ``_test.py:229-488``).
 
     Dense (6, n, n) partials here — the oracle favors clarity; the TPU layer
@@ -336,6 +349,14 @@ def rnea_grad_inner(robot, q, qd, v, a, f, GRAVITY=DEFAULT_GRAVITY):
             dc_dq[i, col] = S @ df_dq[:, col, i]
             dc_dqd[i, col] = S @ df_dqd[:, col, i]
         dc_dqd[i, i] += robot.get_damping_by_id(i)
+    if return_stages:
+        # staged-dump hook; df here is the accumulated (post-backward) form
+        return dc_dq, dc_dqd, {
+            "dv_dq": dv_dq, "dv_dqd": dv_dqd,
+            "da_dq": da_dq, "da_dqd": da_dqd,
+            "df_dq": df_dq, "df_dqd": df_dqd,
+            "dc_du": np.hstack([dc_dq, dc_dqd]),
+        }
     return dc_dq, dc_dqd
 
 

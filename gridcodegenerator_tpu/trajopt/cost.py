@@ -14,6 +14,8 @@ and controls u (n, B). Provided models:
 
 from __future__ import annotations
 
+import functools
+
 import dataclasses
 from typing import Optional
 
@@ -23,6 +25,11 @@ import numpy as np
 
 from ..models.model import RobotModel
 from ..ops import eepose as _eepose
+
+# einsum pinned to full f32 accumulation: TPU dot_general defaults to
+# bf16 MXU precision, unacceptable for dynamics (see ops/xforms.py)
+_es = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 
 
 class CostModel:
@@ -135,7 +142,7 @@ class EEReachCost(CostModel):
         e, J = self._err_jac(q)
         # gradient: [w J^T e ; w_vel qd]; GN Hessian: [w J^T J, 0; 0, w_vel I]
         JTe = jnp.sum(J * e[:, None, :], axis=0)              # (n, B)
-        JTJ = jnp.einsum("kib,kjb->ijb", J, J)
+        JTJ = _es("kib,kjb->ijb", J, J)
         lx = jnp.concatenate([w_pos * JTe, self.w_vel * qd], axis=0)
         eye_n = jnp.eye(n, dtype=dtype)[:, :, None] + jnp.zeros((1, 1, B), dtype)
         z = jnp.zeros((n, n, B), dtype)

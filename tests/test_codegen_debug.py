@@ -55,3 +55,77 @@ def test_debug_stage_dump_matches_oracle(capsys):
     from gridcodegenerator_tpu.utils.debug import print_stages
     print_stages({"c": st["c"]})
     assert "c =" in capsys.readouterr().out
+
+
+def _sample(topo, seed=0):
+    n = topo.get_num_joints()
+    rng = np.random.default_rng(seed)
+    return (build_model(topo, dtype=jnp.float64),
+            rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+            rng.uniform(-1, 1, n))
+
+
+def _lane(x):
+    return jnp.asarray(x)[:, None]
+
+
+def test_minv_stage_dump_matches_oracle():
+    from gridcodegenerator_tpu.utils.debug import (minv_stages,
+                                                   oracle_minv_stages)
+    for robot in ("mixed5", "hyq"):
+        topo = load_robot(robot)
+        model, q, _, _ = _sample(topo)
+        report = diff_stages(minv_stages(model, _lane(q)),
+                             oracle_minv_stages(topo, q))
+        assert set(report) == {"U", "Dinv", "F", "Minv_upper", "Minv"}
+        assert max(report.values()) < 1e-10, (robot, report)
+
+
+def test_id_grad_stage_dump_matches_oracle():
+    from gridcodegenerator_tpu.utils.debug import (id_grad_stages,
+                                                   oracle_id_grad_stages)
+    for robot in ("mixed5", "hyq"):
+        topo = load_robot(robot)
+        model, q, qd, qdd = _sample(topo)
+        report = diff_stages(
+            id_grad_stages(model, _lane(q), _lane(qd), _lane(qdd)),
+            oracle_id_grad_stages(topo, q, qd, qdd))
+        # every shared stage (dv, da, accumulated df, dc) localizes
+        assert {"dv_dq", "da_dqd", "df_dq", "dc_du"} <= set(report)
+        assert max(report.values()) < 1e-10, (robot, report)
+
+
+def test_aba_stage_dump_matches_oracle():
+    from gridcodegenerator_tpu.utils.debug import (aba_stages,
+                                                   oracle_aba_stages)
+    for robot in ("mixed5", "hyq"):
+        topo = load_robot(robot)
+        model, q, qd, u = _sample(topo)
+        report = diff_stages(aba_stages(model, _lane(q), _lane(qd), _lane(u)),
+                             oracle_aba_stages(topo, q, qd, u))
+        assert {"v", "pA", "U", "Dinv", "uu", "a", "qdd"} <= set(report)
+        assert max(report.values()) < 1e-10, (robot, report)
+
+
+def test_so_stage_dump_localizes_f32_error():
+    """so_stages diffing an f32 model against the f64 model: every stage
+    reports a small-but-nonzero error, proving the per-pass localization
+    works (the DEBUG_MODE use case for the SO kernel)."""
+    from gridcodegenerator_tpu.utils.debug import so_stages
+    topo = load_robot("pendulum2")
+    m64, q, qd, qdd = _sample(topo)
+    m32 = build_model(topo, dtype=jnp.float32)
+
+    def lanes(m, dt):
+        return (jnp.asarray(q, dt)[:, None], jnp.asarray(qd, dt)[:, None],
+                jnp.asarray(qdd, dt)[:, None])
+
+    s64 = so_stages(m64, *lanes(m64, jnp.float64))
+    s32 = so_stages(m32, *lanes(m32, jnp.float32))
+    report = diff_stages(s32, s64)
+    assert {"v", "a", "psid", "IC", "BC", "T1", "idsva_so"} <= set(report)
+    assert max(report.values()) < 1e-4, report
+    # and the final tensor agrees with the independent jacfwd oracle in f64
+    from gridcodegenerator_tpu.ops.so import idsva_so_jacfwd
+    ref = np.asarray(idsva_so_jacfwd(m64, *lanes(m64, jnp.float64)))
+    np.testing.assert_allclose(s64["idsva_so"], ref, atol=1e-9)
