@@ -183,15 +183,21 @@ def fd_du_pallas(model: RobotModel, gravity: float,
 # The n^3 outputs are the Pallas analog of the reference's
 # global-memory-resident second-order results (``_idsva_so.py:1003-1005``
 # spills to global memory above SHARED_MEMORY_JOINT_THRESHOLD=10 joints):
-# the batch tile is kept small so the 4*(nv,nv,nv) tensors + jacfwd seeds fit
-# VMEM; larger robots lower the tile further.
+# the batch tile is kept at the 128-lane minimum so the 4*(nv,nv,nv) tensors
+# + stage intermediates fit VMEM.
 
-SO_BLOCK_B = 128  # Mosaic lane tiling requires batch tiles divisible by 128
-SO_MAX_NV = 16    # above this the 4*(nv^3) outputs + seeds exceed VMEM even
-                  # at the minimum tile; the XLA path (HBM-managed, same
-                  # unrolled math on TPU) serves larger robots — the analog
-                  # of the reference's global-memory spill thresholds
-                  # (_idsva_so.py:1, _fdsva_so.py:1)
+SO_BLOCK_B = 128   # Mosaic lane tiling requires batch tiles divisible by 128
+SO_MAX_NV = 28     # measured ceiling for the fused analytical IDSVA-SO body
+                   # (atlas 28-DoF compiles in the 100 MB VMEM budget at the
+                   # 128-lane tile and is bit-exact vs the XLA path); beyond
+                   # this the XLA route (HBM-managed, same unrolled math)
+                   # serves — the analog of the reference's global-memory
+                   # spill thresholds (_idsva_so.py:1, _fdsva_so.py:1)
+FDSVA_MONO_MAX_NV = 16  # ceiling for the MONOLITHIC fused FDSVA-SO kernel:
+                   # above it the in-kernel n^4 contraction intermediates
+                   # spill registers (atlas wants 191 MB VMEM); larger
+                   # robots use the composed route below, which keeps the
+                   # SVA stages fused and moves the contractions to the MXU
 
 
 def so_fits(model: RobotModel) -> bool:
@@ -231,7 +237,17 @@ def idsva_so_pallas(model: RobotModel, gravity: float,
 
 def fdsva_so_pallas(model: RobotModel, gravity: float,
                     block_b: Optional[int] = None, interpret: bool = False):
-    """Fused second-order FD: (q, qd, u) (n,B) -> (4, nv, nv, nv, B)."""
+    """Fused second-order FD: (q, qd, u) (n,B) -> (4, nv, nv, nv, B).
+
+    nv <= FDSVA_MONO_MAX_NV: one monolithic kernel (SVA stages + implicit-
+    function contractions all VMEM-resident). Larger robots (humanoid scale,
+    up to SO_MAX_NV) get the composed route: fused IDSVA-SO + fused fd_du
+    kernels produce the tensors/Jacobian/Minv, and the n^4 implicit-function
+    contractions run as XLA dot_generals — batched (nv x nv)@(nv x nv^2)
+    matmuls that belong on the MXU, not hand-held in VMEM (the in-kernel
+    form spills ~190 MB of registers at 28 DoF). Same math either way
+    (``_so.fdsva_so_unrolled``; reference ``_fdsva_so.py:52-83``).
+    """
     _check(model)
     if not so_fits(model):
         raise NotImplementedError(
@@ -239,11 +255,23 @@ def fdsva_so_pallas(model: RobotModel, gravity: float,
             "larger robots use the XLA path (HBM-resident outputs)")
     n, nv = model.n, model.num_vel
     bb = so_block_b(model, block_b)
-    fn, consts = _bind(model, lambda m, q, qd, u: _so.fdsva_so_unrolled(
-        m, q, qd, u, gravity))
-    return fuse_batched(fn, [(n,)] * 3, [(4, nv, nv, nv)], consts=consts,
-                        dtype=model.Imat.dtype, block_b=bb,
-                        interpret=interpret, vmem_limit_bytes=VMEM_LIMIT)
+    if nv <= FDSVA_MONO_MAX_NV:
+        fn, consts = _bind(model, lambda m, q, qd, u: _so.fdsva_so_unrolled(
+            m, q, qd, u, gravity))
+        return fuse_batched(fn, [(n,)] * 3, [(4, nv, nv, nv)], consts=consts,
+                            dtype=model.Imat.dtype, block_b=bb,
+                            interpret=interpret, vmem_limit_bytes=VMEM_LIMIT)
+
+    so_fn = idsva_so_pallas(model, gravity, block_b=bb, interpret=interpret)
+    fd_fn = fd_du_pallas(model, gravity, block_b=bb, interpret=interpret,
+                         with_extras=True)
+
+    def call(q, qd, u):
+        df_du, qdd, Mi = fd_fn(q, qd, u)
+        T = so_fn(q, qd, qdd)
+        return _so.fdsva_compose(model, T, df_du, Mi, use_einsum=True)
+
+    return call
 
 
 # ---------------------------------------------------------------------------

@@ -25,13 +25,11 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...models.model import RobotModel
 from .. import aba as _aba
-from .. import fd_grad as _fd_grad
 from ..linalg import gj_inverse
 from ..spatial import bmm, bmv
 from .kernels import VMEM_LIMIT, _check
@@ -371,105 +369,3 @@ def riccati_pallas(n: int, N: int, reg: float, dtype=jnp.float32,
                  + [(nx,), (nx, nx)])
     return _sweep_call(body, in_shapes, [(N, n), (N, n, nx)], (), dtype,
                        block_b, interpret)
-
-
-def lqr_backward_quad_pallas(model: RobotModel, N: int, dt: float,
-                             gravity: float, reg: float,
-                             Q, R, Qf,
-                             block_b: int = RICCATI_BLOCK_B,
-                             interpret: bool = False):
-    """Fused linearize + Riccati backward pass in ONE kernel (diagonal
-    quadratic tracking cost):
-
-    (X (N+1,nx,B), U (N,n,B), x_goal (nx,B)) -> (ks (N,n,B), Ks (N,n,nx,B))
-
-    Per knot, INSIDE the time loop: the analytical FD gradient (``fd_grad``:
-    minv -> RNEA -> ID-gradient -> -Minv dc_du), the semi-implicit Euler
-    A/B blocks, the QuadCost expansions, and the Riccati Q-step — so the
-    (N, nx, nx, B) linearization stacks never exist in HBM (~150 MB of
-    write+read traffic per solver iteration at MPC sizes). HBM traffic
-    collapses to X/U in and k/K out. Math matches ``ilqr.linearize`` +
-    ``ilqr.backward`` exactly (parity-tested).
-    """
-    _check(model)
-    n = model.num_vel
-    nx = 2 * n
-    dtype = model.Imat.dtype
-    # the diagonal weights arrive pre-shaped ((d,1) vectors / (d,d,1) diag
-    # matrices): Mosaic cannot rank-expand runtime vectors inside the
-    # kernel, but broadcasting a size-1 lane axis is a native lane splat
-    Q = np.asarray(jnp.asarray(Q, dtype))
-    R = np.asarray(jnp.asarray(R, dtype))
-    Qf = np.asarray(jnp.asarray(Qf, dtype))
-    consts = _model_consts(model) + (
-        jnp.asarray(Q[:, None]), jnp.asarray(R[:, None]),
-        jnp.asarray(Qf[:, None]),
-        jnp.asarray(np.diag(Q)[:, :, None]),
-        jnp.asarray(np.diag(R)[:, :, None]),
-        jnp.asarray(np.diag(Qf)[:, :, None]))
-
-    def body(cvals, in_refs, out_refs):
-        m = _rebind(model, cvals[:4])
-        Qv, Rv, Qfv, Qd, Rd, Qfd = cvals[4:]
-        X_ref, U_ref, xg_ref = in_refs
-        ks_ref, Ks_ref = out_refs
-        xg = xg_ref[...]
-        tz = 0.0 * xg[0]  # traced (bb,) zero to broadcast diag consts
-        lxx_c = Qd + tz                             # (nx, nx, bb)
-        luu_c = Rd + tz
-        reg_eye = reg * jnp.eye(n, dtype=dtype)[:, :, None]
-
-        xN = _ld(X_ref, N)
-        Vx0 = Qfv * (xN - xg)
-        Vxx0 = Qfd + tz
-
-        def step(i, carry):
-            t = N - 1 - i
-            Vx, Vxx = carry
-            x = _ld(X_ref, t)
-            u = _ld(U_ref, t)
-            qq, qdv = x[:n], x[n:]
-            df_du, _, Mi = _fd_grad.fd_grad(m, qq, qdv, u, gravity,
-                                            return_extras=True)
-            dfdq, dfdqd = df_du[:, :n], df_du[:, n:]
-            I_n = jnp.eye(n, dtype=dtype)[:, :, None]
-            A21 = dt * dfdq
-            A22 = I_n + dt * dfdqd
-            A11 = I_n + dt * A21
-            A12 = dt * A22
-            Bqd = dt * Mi
-            Bq = dt * Bqd
-            A = jnp.concatenate([
-                jnp.concatenate([A11, A12], axis=1),
-                jnp.concatenate([A21, A22], axis=1)], axis=0)
-            Bm = jnp.concatenate([Bq, Bqd], axis=0)
-            lx_t = Qv * (x - xg)
-            lu_t = Rv * u
-
-            At = jnp.swapaxes(A, 0, 1)
-            Bt = jnp.swapaxes(Bm, 0, 1)
-            Qx = lx_t + bmv(At, Vx)
-            Qu = lu_t + bmv(Bt, Vx)
-            BtVxx = bmm(Bt, Vxx)
-            Qxx = lxx_c + bmm(bmm(At, Vxx), A)
-            Qux = bmm(BtVxx, A)
-            Quu = luu_c + bmm(BtVxx, Bm)
-            Quu_inv = gj_inverse(Quu + reg_eye)
-            k_t = -bmv(Quu_inv, Qu)
-            K_t = -bmm(Quu_inv, Qux)
-            Kt_T = jnp.swapaxes(K_t, 0, 1)
-            Qux_T = jnp.swapaxes(Qux, 0, 1)
-            Vx_n = (Qx + bmv(Kt_T, bmv(Quu, k_t)) + bmv(Kt_T, Qu)
-                    + bmv(Qux_T, k_t))
-            Vxx_n = (Qxx + bmm(Kt_T, bmm(Quu, K_t)) + bmm(Kt_T, Qux)
-                     + bmm(Qux_T, K_t))
-            Vxx_n = 0.5 * (Vxx_n + jnp.swapaxes(Vxx_n, 0, 1))
-            _st(ks_ref, t, k_t)
-            _st(Ks_ref, t, K_t)
-            return Vx_n, Vxx_n
-
-        jax.lax.fori_loop(0, N, step, (Vx0, Vxx0))
-
-    return _sweep_call(body, [(N + 1, nx), (N, n), (nx,)],
-                       [(N, n), (N, n, nx)], consts, dtype, block_b,
-                       interpret)

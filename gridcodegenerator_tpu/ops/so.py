@@ -241,6 +241,50 @@ def _dm_contract(dM, D):
     return out
 
 
+def _minv_contract_es(Mi, T):
+    """MXU form of :func:`_minv_contract` (full-f32 accumulation)."""
+    return jnp.einsum("imb,mjkb->ijkb", Mi, T,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _dm_contract_es(dM, D):
+    """MXU form of :func:`_dm_contract` (full-f32 accumulation)."""
+    return jnp.einsum("imab,mkb->iakb", dM, D,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def fdsva_compose(model: RobotModel, T, df_du, Mi,
+                  use_einsum: bool = False) -> jnp.ndarray:
+    """The FDSVA-SO implicit-function contractions, given the IDSVA-SO
+    tensor stack T (4, nv, nv, nv, B), the FD gradient df_du (nv, 2nv, B)
+    and Minv (nv, nv, B) — the reference's own composition
+    (``_fdsva_so.py:52-83``); see :func:`fdsva_so_unrolled` for the math.
+
+    ``use_einsum`` selects MXU dot_generals for the n^4 contractions (the
+    XLA-side composed route for humanoid-scale robots); the unrolled form
+    stays Mosaic-lowerable for the monolithic fused kernel.
+    """
+    nv = model.num_vel
+    mc = _minv_contract_es if use_einsum else _minv_contract
+    dc = _dm_contract_es if use_einsum else _dm_contract
+    dfdq, dfdqd = df_du[:, :nv], df_du[:, nv:]
+    d2tau_q, d2tau_qd, tau_cross, dM = T[0], T[1], T[2], T[3]
+
+    C = dc(dM, dfdq)                   # C[i,j,k] = dM[imj] dfdq[mk]
+    inner_q = d2tau_q + C + jnp.swapaxes(C, 1, 2)
+    D = dc(dM, dfdqd)                  # D[i,k,j'] = dM[imk] dfdqd[mj']
+    inner_cross = tau_cross + jnp.swapaxes(D, 1, 2)
+    E = dc(dM, Mi)                     # E[i,k,j] = dM[imk] Minv[mj]
+    inner_tau = jnp.swapaxes(E, 1, 2)
+
+    return jnp.stack([
+        -mc(Mi, inner_q),
+        -mc(Mi, d2tau_qd),
+        -mc(Mi, inner_cross),
+        -mc(Mi, inner_tau),
+    ])
+
+
 def fdsva_so_unrolled(
     model: RobotModel,
     q: jnp.ndarray,
@@ -264,25 +308,9 @@ def fdsva_so_unrolled(
     and the remaining work is n^4 lane-wise contractions.
     """
     _check_fixed_base(model)
-    nv = model.num_vel
     df_du, qdd, Mi = fd_grad(model, q, qd, u, GRAVITY, return_extras=True)
-    dfdq, dfdqd = df_du[:, :nv], df_du[:, nv:]
     T = idsva_so_unrolled(model, q, qd, qdd, GRAVITY)
-    d2tau_q, d2tau_qd, tau_cross, dM = T[0], T[1], T[2], T[3]
-
-    C = _dm_contract(dM, dfdq)                   # C[i,j,k] = dM[imj] dfdq[mk]
-    inner_q = d2tau_q + C + jnp.swapaxes(C, 1, 2)
-    D = _dm_contract(dM, dfdqd)                  # D[i,k,j'] = dM[imk] dfdqd[mj']
-    inner_cross = tau_cross + jnp.swapaxes(D, 1, 2)
-    E = _dm_contract(dM, Mi)                     # E[i,k,j] = dM[imk] Minv[mj]
-    inner_tau = jnp.swapaxes(E, 1, 2)
-
-    return jnp.stack([
-        -_minv_contract(Mi, inner_q),
-        -_minv_contract(Mi, d2tau_qd),
-        -_minv_contract(Mi, inner_cross),
-        -_minv_contract(Mi, inner_tau),
-    ])
+    return fdsva_compose(model, T, df_du, Mi)
 
 
 # ---------------------------------------------------------------------------

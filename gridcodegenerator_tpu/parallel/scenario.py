@@ -56,29 +56,38 @@ def make_scenario_step(model: RobotModel, cost: CostModel,
     """
     solver = make_ilqr(model, cost, cfg.ilqr)
     n = model.num_vel
-    ndp = mesh.shape["dp"]
-    assert cfg.n_scenarios % ndp == 0, (cfg.n_scenarios, ndp)
+    # scenarios shard over EVERY mesh axis jointly: on a 1-axis ("dp",) mesh
+    # this is plain data parallelism; on a hybrid ("dp", "kp") multi-host
+    # mesh (make_hybrid_mesh) the solve stays embarrassingly parallel and
+    # the only cross-axis traffic is the consensus psum below — an
+    # (n,)-vector, so the DCN hop on the host-spanning "dp" axis is
+    # bandwidth-trivial and XLA reduces hierarchically (ICI first).
+    axes = tuple(mesh.axis_names)
+    ntot = 1
+    for a in axes:
+        ntot *= mesh.shape[a]
+    assert cfg.n_scenarios % ntot == 0, (cfg.n_scenarios, ntot)
 
     def shard_step(x0s, U_warm):
-        # local shard: (2n, S/ndp), (N, n, S/ndp)
+        # local shard: (2n, S/ntot), (N, n, S/ntot)
         res = solver(x0s, U_warm)
         u0_local = res.U[0]                       # (n, S_loc)
         c_local = res.cost                        # (S_loc,)
         # scenario-tree consensus over ALL scenarios: softmin-by-cost
         w_local = jnp.exp(-cfg.consensus_temp
-                          * (c_local - jax.lax.pmin(jnp.min(c_local), "dp")))
-        num = jax.lax.psum(jnp.sum(u0_local * w_local[None], axis=1), "dp")
-        den = jax.lax.psum(jnp.sum(w_local), "dp")
+                          * (c_local - jax.lax.pmin(jnp.min(c_local), axes)))
+        num = jax.lax.psum(jnp.sum(u0_local * w_local[None], axis=1), axes)
+        den = jax.lax.psum(jnp.sum(w_local), axes)
         u0 = num / den                            # (n,) replicated
         U_next = jnp.concatenate([res.U[1:], res.U[-1:]], axis=0)
         return u0, U_next, c_local
 
-    spec_x = P(None, "dp")
-    spec_U = P(None, None, "dp")
+    spec_x = P(None, axes)
+    spec_U = P(None, None, axes)
     step = shard_map(
         shard_step, mesh=mesh,
         in_specs=(spec_x, spec_U),
-        out_specs=(P(), spec_U, P("dp")),
+        out_specs=(P(), spec_U, P(axes)),
     )
     return jax.jit(step)
 
@@ -99,7 +108,7 @@ def closed_loop(model: RobotModel, cost: CostModel, cfg: ScenarioMPCConfig,
     n = model.num_vel
     S = cfg.n_scenarios
     U = jnp.zeros((cfg.ilqr.N, n, S), x0.dtype)
-    sharding_x = NamedSharding(mesh, P(None, "dp"))
+    sharding_x = NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
     xs, us = [x0], []
     x = x0
     for t in range(steps):

@@ -62,14 +62,6 @@ class ILQRConfig:
                                   # single Pallas kernels (horizon loop
                                   # inside the kernel — kills the per-knot
                                   # dispatch overhead of scan-of-kernels)
-    fused_lqr_kernel: bool = False  # EXPERIMENTAL: fuse the linearization
-                                  # (fd_grad) INTO the backward kernel
-                                  # (QuadCost only). ~12% faster end-to-end
-                                  # but numerically fragile in f32 when the
-                                  # first-iteration rollout visits extreme
-                                  # states (gain error amplifies through
-                                  # the in-kernel Riccati recursion), and
-                                  # cold-compiles for tens of minutes
 
     def clamp(self, u):
         if self.u_min is None and self.u_max is None:
@@ -115,7 +107,7 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
                       and not model.floating_base)
     blk = cfg.pallas_block
     fused_fd_du = fused_aba = fused_so = None
-    fused_roll = fused_fb = fused_ric = fused_lqr = None
+    fused_roll = fused_fb = fused_ric = None
     so_blk = roll_blk = ric_blk = None
     stationary_cost = getattr(cost, "stationary_curvature", False)
     if use_pallas and not model.floating_base:
@@ -141,14 +133,6 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
                     n, N, cfg.reg, dtype=model.Imat.dtype,
                     stationary_curvature=stationary_cost,
                     block_b=ric_blk)
-                from .cost import QuadCost as _QuadCost
-                if cfg.fused_lqr_kernel and isinstance(cost, _QuadCost):
-                    # diagonal-quadratic cost: the linearization (fd_grad +
-                    # Euler A/B blocks) fuses INTO the backward kernel —
-                    # the (N, nx, nx, B) stacks never exist in HBM
-                    fused_lqr = _ps.lqr_backward_quad_pallas(
-                        model, N, dt, cfg.gravity, cfg.reg,
-                        cost.Q, cost.R, cost.Qf, block_b=ric_blk)
 
     def step(x, u):
         """Semi-implicit Euler step, fused-ABA when the lanes tile."""
@@ -357,19 +341,6 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
 
         def iteration(carry, _):
             X, U, c = carry
-            B = X.shape[-1]
-            if fused_lqr is not None and B % ric_blk == 0:
-                # linearize + backward in one kernel (QuadCost fast path)
-                xg = jnp.asarray(cost.x_goal, X.dtype)
-                xg_b = jnp.broadcast_to(
-                    xg[:, None] if xg.ndim == 1 else xg, (nx, B))
-                ks, Ks = fused_lqr(X, U, xg_b)
-                Xn, Un, cn = forward(X, U, ks, Ks)
-                acc = cn < c
-                Xn = jnp.where(acc[None, None, :], Xn, X)
-                Un = jnp.where(acc[None, None, :], Un, U)
-                cn = jnp.where(acc, cn, c)
-                return (Xn, Un, cn), (cn, ks, Ks)
             Amat, Bmat, (qf, qdf, uf) = linearize(X, U)
             so_t = None
             if cfg.use_second_order:

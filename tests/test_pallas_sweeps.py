@@ -228,54 +228,3 @@ def test_ilqr_fused_sweeps_flag_off_matches_default_cpu():
                    ILQRConfig(N=8, iters=2, fused_sweeps=False))(x0, U0)
     np.testing.assert_allclose(np.asarray(r1.cost), np.asarray(r2.cost),
                                atol=1e-12)
-
-
-def test_lqr_backward_quad_matches_composed(setup):
-    """Mega-kernel (fd_grad + Euler A/B + QuadCost Riccati in one pass)
-    == the composed linearize + scan-backward reference."""
-    from gridcodegenerator_tpu.ops.fd_grad import fd_grad
-
-    model, rng = setup
-    n, N, B = model.num_vel, 4, 2
-    nx = 2 * n
-    reg = 1e-6
-    Q = jnp.asarray(rng.uniform(0.05, 0.2, nx))
-    R = jnp.asarray(rng.uniform(1e-3, 1e-2, n))
-    Qf = jnp.asarray(rng.uniform(50, 100, nx))
-    xg = jnp.asarray(rng.uniform(-0.5, 0.5, nx))
-    X = jnp.asarray(rng.uniform(-0.5, 0.5, (N + 1, nx, B)))
-    U = jnp.asarray(rng.uniform(-1, 1, (N, n, B)))
-    xg_b = jnp.broadcast_to(xg[:, None], (nx, B))
-
-    fused = _ps.lqr_backward_quad_pallas(model, N, DT, GRAV, reg, Q, R, Qf,
-                                         block_b=B, interpret=True)
-    ks_f, Ks_f = fused(X, U, xg_b)
-
-    # composed reference: per-knot fd_grad -> Euler A/B -> scan Riccati
-    I_n = jnp.eye(n, dtype=X.dtype)[:, :, None]
-    As, Bs = [], []
-    for t in range(N):
-        x = X[t]
-        df_du, _, Mi = fd_grad(model, x[:n], x[n:], U[t], GRAV,
-                               return_extras=True)
-        A21 = DT * df_du[:, :n]
-        A22 = I_n + DT * df_du[:, n:]
-        A = jnp.concatenate([
-            jnp.concatenate([I_n + DT * A21, DT * A22], axis=1),
-            jnp.concatenate([A21, A22], axis=1)], axis=0)
-        Bs.append(jnp.concatenate([DT * DT * Mi, DT * Mi], axis=0))
-        As.append(A)
-    Amat, Bmat = jnp.stack(As), jnp.stack(Bs)
-    lx = jnp.stack([Q[:, None] * (X[t] - xg_b) for t in range(N)])
-    lu = jnp.stack([R[:, None] * U[t] for t in range(N)])
-    lxx = jnp.tile(jnp.diag(Q)[None, :, :, None], (N, 1, 1, B))
-    luu = jnp.tile(jnp.diag(R)[None, :, :, None], (N, 1, 1, B))
-    lux = jnp.zeros((N, n, nx, B), X.dtype)
-    Vx0 = Qf[:, None] * (X[N] - xg_b)
-    Vxx0 = jnp.tile(jnp.diag(Qf)[:, :, None], (1, 1, B))
-    ks_s, Ks_s = _scan_riccati(n, N, reg, Amat, Bmat, lx, lu, lxx, luu,
-                               lux, Vx0, Vxx0)
-    np.testing.assert_allclose(np.asarray(ks_f), np.asarray(ks_s),
-                               atol=1e-9)
-    np.testing.assert_allclose(np.asarray(Ks_f), np.asarray(Ks_s),
-                               atol=1e-9)

@@ -5,6 +5,8 @@ independent of the analytical first-order kernels the suite differentiates,
 so agreement checks both layers at once.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -97,3 +99,46 @@ def test_analytical_idsva_matches_seeded(name):
     Sd = np.asarray(_so.idsva_so_seeded(model, q, qd, qdd))
     scale = max(1.0, float(np.max(np.abs(Sd))))
     np.testing.assert_allclose(A, Sd, atol=1e-10 * scale)
+
+
+def test_fdsva_compose_einsum_matches_unrolled():
+    """The MXU-einsum contraction form of the implicit-function composition
+    (the humanoid-scale composed route, ``kernels.fdsva_so_pallas``) equals
+    the Mosaic-unrolled form at 28-DoF shapes."""
+    from gridcodegenerator_tpu.ops.so import fdsva_compose
+
+    model = build_model(load_robot("atlas"), dtype=jnp.float64)
+    nv, B = model.num_vel, 2
+    rng = np.random.default_rng(3)
+    T = jnp.asarray(rng.normal(size=(4, nv, nv, nv, B)))
+    df_du = jnp.asarray(rng.normal(size=(nv, 2 * nv, B)))
+    Mi = jnp.asarray(rng.normal(size=(nv, nv, B)))
+    a = np.asarray(fdsva_compose(model, T, df_du, Mi, use_einsum=False))
+    b = np.asarray(fdsva_compose(model, T, df_du, Mi, use_einsum=True))
+    np.testing.assert_allclose(a, b, atol=1e-12 * np.max(np.abs(a)))
+
+
+@pytest.mark.skipif(os.environ.get("GRID_SLOW_TESTS") != "1",
+                    reason="humanoid-scale second-order compile takes "
+                           ">10 min on CPU; set GRID_SLOW_TESTS=1 (verified "
+                           "on TPU each round, see BENCH notes)")
+def test_analytical_idsva_humanoid_scale():
+    """28-DoF (atlas) analytical SVA tensors vs nested jacfwd of plain RNEA
+    — the kernel-vs-oracle check at the reference's global-memory-spill
+    scale (``_idsva_so.py:1003-1005``)."""
+    from gridcodegenerator_tpu.ops import so as _so
+
+    model = build_model(load_robot("atlas"), dtype=jnp.float64)
+    n = model.n
+    rng = np.random.default_rng(11)
+    q, qd, qdd = (jnp.asarray(rng.uniform(-1, 1, (n, 1))) for _ in range(3))
+    A = np.asarray(jax.jit(
+        lambda a, b, c: _so.idsva_so_analytical(model, a, b, c))(q, qd, qdd))
+
+    def tau(qs, qds, qdds):
+        return rnea(model, qs[:, None], qds[:, None], qdds[:, None])[:, 0]
+
+    d2q = np.asarray(jax.jit(
+        jax.jacfwd(jax.jacfwd(tau, 0), 0))(q[:, 0], qd[:, 0], qdd[:, 0]))
+    scale = max(1.0, float(np.max(np.abs(d2q))))
+    np.testing.assert_allclose(A[0, ..., 0], d2q, atol=1e-11 * scale)

@@ -136,6 +136,20 @@ def test_scenario_mpc_virtual_mesh(pend):
     # (softmin weighting) — sanity: finite and bounded by max |u| over shards
     assert np.isfinite(np.asarray(u0)).all()
 
+    # hybrid 2-axis ("dp", "kp") mesh — the DCN-aware multi-host layout —
+    # must produce the SAME consensus as the flat mesh (scenarios shard over
+    # both axes jointly; collectives reduce over the axis tuple)
+    if ndev % 2 == 0:
+        from gridcodegenerator_tpu.parallel.mesh import make_hybrid_mesh
+        hmesh = make_hybrid_mesh(("dp", "kp"), kp_size=2, n_devices=ndev)
+        hstep = make_scenario_step(pend, cost, cfg, hmesh)
+        hu0, _, hcosts = hstep(x0s, jnp.zeros((icfg.N, n, S), jnp.float32))
+        np.testing.assert_allclose(np.asarray(hu0), np.asarray(u0),
+                                   rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(np.sort(np.asarray(hcosts)),
+                                   np.sort(np.asarray(costs)),
+                                   rtol=2e-5, atol=2e-6)
+
 
 def test_parallel_riccati_matches_sequential():
     """Associative-scan backward sweep equals the sequential Riccati
