@@ -1,19 +1,25 @@
-"""Benchmark driver: MPC solves/s/chip on the flagship config.
+"""Benchmark driver: all five BASELINE configs, headline metric last.
 
-Primary metric (BASELINE.json): iLQR MPC solves/s/chip for the 7-DoF iiwa at
-N=64 knots with analytical first-order gradients (config 3). One "solve" =
-one full iLQR solve (``ITERS`` sweeps: fused fd_du linearization of all 64
-knots, Riccati backward, line-searched forward) for one MPC problem; B
-problems run batched on the chip's lanes.
+Emits one JSON line per BASELINE.md config, then the headline line
+(config 3: iLQR MPC solves/s/chip, 7-DoF iiwa, N=64 knots, EE point-to-
+point reach) with the per-config summary nested under ``configs``.
 
-``vs_baseline``: the reference repo publishes no numbers
-(``BASELINE.md``); its acceptance bar is "meeting the real-time replanning
-budget", i.e. >= 1 kHz replanning for the 7-DoF arm (the GRiD paper's MPC
-regime). vs_baseline therefore reports solves/s/chip relative to that
-1000 solves/s real-time bar.
+1. single-trajectory iiwa RNEA + analytical ID gradient vs the f64 CPU
+   oracle (rbdReference analog): correctness + single-call latency
+2. batched ABA forward dynamics + fd gradient, 1024 rollouts: evals/s
+3. iLQR point-to-point EE reach, iiwa, N=64, first-order: solves/s/chip
+4. SQP MPC with exact IDSVA-SO/FDSVA-SO Hessians, iiwa + HyQ: solves/s
+5. scenario-tree MPC, 4096 perturbed Atlas rollouts, consensus reduce
+   over the device mesh: scenario-steps/s (single-chip mesh here; the
+   same shard_map scales over ICI/DCN — see benchmarks/scaling.py)
+
+``vs_baseline``: the reference repo publishes no numbers (BASELINE.md);
+its acceptance bar is the real-time replanning budget, i.e. >= 1 kHz
+replanning for the 7-DoF arm (the GRiD paper's MPC regime). vs_baseline
+reports headline solves/s/chip relative to that 1000 solves/s bar.
 
 Timing uses the in-jit repeat harness (the reference's ``_single_timing``
-analog) so remote-dispatch latency is amortized out.
+analog) so the ~28 ms remote-dispatch latency is amortized out.
 """
 
 import json
@@ -22,13 +28,70 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
 
+
+def config1(jnp, jax):
+    """Single-trajectory RNEA + ID gradient vs the float64 oracle."""
+    from gridcodegenerator_tpu.api import GRiD
+    from gridcodegenerator_tpu.models.zoo import load_robot
+    from gridcodegenerator_tpu.reference import oracle
+    from gridcodegenerator_tpu.utils.timing import time_kernel
+
+    topo = load_robot("iiwa")
+    g = GRiD("iiwa", dtype=jnp.float32)
+    n = g.num_vel
+    rng = np.random.default_rng(0)
+    q, qd, qdd = (rng.uniform(-1, 1, n) for _ in range(3))
+
+    c = np.asarray(g.id(q, qd, qdd))
+    dc = np.asarray(g.id_du(q, qd, qdd))
+    c_ref, v, a, f = oracle.rnea(topo, q, qd, qdd)
+    dq_ref, dqd_ref = oracle.rnea_grad_inner(topo, q, qd, v, a, f)
+    err_c = float(np.max(np.abs(c - c_ref)))
+    err_d = float(np.max(np.abs(dc - np.hstack([dq_ref, dqd_ref]))))
+
+    q1 = jnp.asarray(q[None], jnp.float32)
+    qd1, qdd1 = (jnp.asarray(x[None], jnp.float32) for x in (qd, qdd))
+    t_id = time_kernel(lambda a_, b_, c_: g.id(a_, b_, c_),
+                       (q1, qd1, qdd1), iters=200)
+    t_du = time_kernel(lambda a_, b_, c_: g.id_du(a_, b_, c_),
+                       (q1, qd1, qdd1), iters=200)
+    return {"config": 1, "metric": "single_traj_id_plus_grad_iiwa",
+            "id_us": round(t_id * 1e6, 2), "id_du_us": round(t_du * 1e6, 2),
+            "max_err_vs_oracle": {"id": err_c, "id_du": err_d},
+            "pass": bool(err_c < 1e-4 and err_d < 1e-3)}
+
+
+def config2(jnp, jax):
+    """1024-rollout batched ABA + FD gradient evals/s."""
+    from gridcodegenerator_tpu.api import GRiD
+    from gridcodegenerator_tpu.utils.timing import time_kernel
+
+    g = GRiD("iiwa", dtype=jnp.float32)
+    n, B = g.num_vel, 1024
+    rng = np.random.default_rng(0)
+    q, qd, u = (jnp.asarray(rng.uniform(-1, 1, (B, n)), jnp.float32)
+                for _ in range(3))
+    t_aba = time_kernel(lambda a_, b_, c_: g.aba(a_, b_, c_),
+                        (q, qd, u), iters=100)
+    t_fddu = time_kernel(lambda a_, b_, c_: g.fd_du(a_, b_, c_),
+                         (q, qd, u), iters=100)
+    return {"config": 2, "metric": "batched_aba_fd_du_evals_per_s_iiwa",
+            "batch": B,
+            "aba_evals_per_s": round(B / t_aba, 1),
+            "fd_du_evals_per_s": round(B / t_fddu, 1),
+            "aba_us_per_call": round(t_aba * 1e6, 2),
+            "fd_du_us_per_call": round(t_fddu * 1e6, 2)}
+
+
+def config3(jnp, jax):
+    """Headline: iLQR EE point-to-point reach, iiwa, N=64, solves/s/chip."""
     from gridcodegenerator_tpu.models.model import build_model
     from gridcodegenerator_tpu.models.zoo import load_robot
-    from gridcodegenerator_tpu.trajopt.cost import QuadCost
+    from gridcodegenerator_tpu.ops import eepose as _eepose
+    from gridcodegenerator_tpu.trajopt.cost import EEReachCost
     from gridcodegenerator_tpu.trajopt.ilqr import ILQRConfig, make_ilqr
     from gridcodegenerator_tpu.utils.timing import time_kernel
 
@@ -37,28 +100,108 @@ def main():
     N, ITERS, B = 64, 5, 2048  # B=2048 saturates the chip (~6% over 1024)
 
     cfg = ILQRConfig(N=N, dt=0.01, iters=ITERS)
-    xg = jnp.zeros(2 * n).at[0].set(1.0).at[1].set(0.5)
-    cost = QuadCost(Q=jnp.full(2 * n, 0.1), R=jnp.full(n, 1e-3),
-                    Qf=jnp.full(2 * n, 100.0), x_goal=xg)
+    q_goal = jnp.full((n, 1), 0.5, jnp.float32)
+    goal = _eepose.eepos(model, q_goal)[:3, 0]      # reachable point target
+    cost = EEReachCost(model=model, goal_xyz=goal, w_pos=0.5, w_pos_f=200.0)
     solve = make_ilqr(model, cost, cfg)
 
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.uniform(-0.2, 0.2, (2 * n, B)), jnp.float32)
     U0 = jnp.zeros((N, n, B), jnp.float32)
 
-    def solve_cost(x0_, U0_):
-        return solve(x0_, U0_).cost
+    dt = time_kernel(lambda a_, b_: solve(a_, b_).cost, (x0, U0), iters=10)
+    return {"config": 3, "metric": "mpc_solves_per_s_per_chip_iiwa_N64",
+            "task": "ee_reach", "batch": B, "knots": N, "iters": ITERS,
+            "solves_per_s": round(B / dt, 1)}
 
-    # 10 in-jit repeats: the remote-TPU program-launch overhead is ~28 ms
-    # fixed per dispatch; fewer repeats inflate the per-solve time
-    dt = time_kernel(solve_cost, (x0, U0), iters=10)
-    solves_per_s = B / dt
-    print(json.dumps({
-        "metric": "mpc_solves_per_s_per_chip_iiwa_N64",
-        "value": round(solves_per_s, 1),
+
+def config4(jnp, jax):
+    """SQP MPC with exact second-order Hessians (iiwa + HyQ)."""
+    from gridcodegenerator_tpu.models.model import build_model
+    from gridcodegenerator_tpu.models.zoo import load_robot
+    from gridcodegenerator_tpu.trajopt.cost import QuadCost
+    from gridcodegenerator_tpu.trajopt.sqp import SQPConfig, make_sqp
+    from gridcodegenerator_tpu.utils.timing import time_kernel
+
+    out = {"config": 4, "metric": "sqp_exact_hessian_solves_per_s"}
+    rng = np.random.default_rng(0)
+    for name, B in (("iiwa", 1024), ("hyq", 512)):
+        model = build_model(load_robot(name), dtype=jnp.float32)
+        n = model.n
+        N, ITERS = 32, 4
+        cfg = SQPConfig(N=N, dt=0.01, iters=ITERS)
+        xg = jnp.zeros(2 * n).at[0].set(0.5)
+        cost = QuadCost(Q=jnp.full(2 * n, 0.1), R=jnp.full(n, 1e-3),
+                        Qf=jnp.full(2 * n, 100.0), x_goal=xg)
+        solve = make_sqp(model, cost, cfg)
+        x0 = jnp.asarray(rng.uniform(-0.2, 0.2, (2 * n, B)), jnp.float32)
+        U0 = jnp.zeros((N, n, B), jnp.float32)
+        dt = time_kernel(lambda a_, b_: solve(a_, b_).cost, (x0, U0),
+                         iters=5)
+        out[f"{name}_solves_per_s"] = round(B / dt, 1)
+        out[f"{name}_batch"] = B
+    return out
+
+
+def config5(jnp, jax):
+    """Scenario-tree MPC: 4096 perturbed Atlas rollouts + consensus."""
+    from gridcodegenerator_tpu.models.model import build_model
+    from gridcodegenerator_tpu.models.zoo import load_robot
+    from gridcodegenerator_tpu.parallel.mesh import make_mesh
+    from gridcodegenerator_tpu.parallel.scenario import (
+        ScenarioMPCConfig, make_scenario_step, perturb_scenarios)
+    from gridcodegenerator_tpu.trajopt.cost import QuadCost
+    from gridcodegenerator_tpu.trajopt.ilqr import ILQRConfig
+
+    model = build_model(load_robot("atlas"), dtype=jnp.float32)
+    n = model.n
+    ndev = len(jax.devices())
+    S = 4096 if jax.default_backend() == "tpu" else 8 * ndev  # dryrun scale
+    N, ITERS = 16, 2
+    mesh = make_mesh(ndev)
+    icfg = ILQRConfig(N=N, dt=0.01, iters=ITERS)
+    xg = jnp.zeros(2 * n).at[0].set(0.2)
+    cost = QuadCost(Q=jnp.full(2 * n, 0.1), R=jnp.full(n, 1e-3),
+                    Qf=jnp.full(2 * n, 10.0), x_goal=xg)
+    cfg = ScenarioMPCConfig(ilqr=icfg, n_scenarios=S)
+    step = make_scenario_step(model, cost, cfg, mesh)
+    x0s = perturb_scenarios(jax.random.PRNGKey(0), jnp.zeros(2 * n), S, 0.02)
+    U = jnp.zeros((icfg.N, n, S), jnp.float32)
+    jax.block_until_ready(step(x0s, U))  # compile
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step(x0s, U)
+    jax.block_until_ready(out)
+    sec = (time.perf_counter() - t0) / reps
+    return {"config": 5, "metric": "scenario_tree_atlas_rollouts",
+            "scenarios": S, "devices": ndev, "knots": N,
+            "step_ms": round(sec * 1e3, 2),
+            "scenario_solves_per_s": round(S / sec, 1)}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    results = {}
+    for i, fn in enumerate((config1, config2, config3, config4, config5),
+                           start=1):
+        try:
+            r = fn(jnp, jax)
+        except Exception as e:  # noqa: BLE001 — a config must not sink bench
+            r = {"config": i, "error": str(e)[:300]}
+        results[i] = r
+        _emit(r)
+
+    headline = results[3].get("solves_per_s", 0.0)
+    _emit({
+        "metric": "mpc_solves_per_s_per_chip_iiwa_N64_ee_reach",
+        "value": headline,
         "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / 1000.0, 3),
-    }))
+        "vs_baseline": round(headline / 1000.0, 3),
+        "configs": results,
+    })
 
 
 if __name__ == "__main__":

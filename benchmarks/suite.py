@@ -31,6 +31,15 @@ def main():
                          "kernels into DIR (view with TensorBoard / Perfetto"
                          " — the tracing analog of the reference's timing "
                          "harness)")
+    ap.add_argument("--hbm-gbps", type=float, default=819.0,
+                    help="peak HBM bandwidth for the roofline (819 GB/s = "
+                         "TPU v5e)")
+    ap.add_argument("--peak-vpu-tflops", type=float, default=3.9,
+                    help="peak f32 vector-unit TFLOP/s for the compute "
+                         "roofline leg (v5e estimate: 940 MHz x 8x128 lanes "
+                         "x 4 ALU ops; the lane-major dynamics kernels are "
+                         "VPU+HBM bound — the MXU peak is not the relevant "
+                         "ceiling)")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +55,11 @@ def main():
     def bench(tier, use_pallas):
         g = GRiD(args.robot, dtype=jnp.float32, use_pallas=use_pallas,
                  block_b=min(256, B))
+        # FLOP counts always come from the XLA trace of the same math (a
+        # Pallas custom-call is opaque to XLA's cost model); the compile is
+        # shared with the xla tier via the compilation cache
+        gx = (g if not use_pallas
+              else GRiD(args.robot, dtype=jnp.float32, use_pallas=False))
         n, npos = g.num_vel, g.num_pos
         q = jnp.asarray(rng.uniform(-1, 1, (B, npos)), jnp.float32)
         qd, u = (jnp.asarray(rng.uniform(-1, 1, (B, n)), jnp.float32)
@@ -73,12 +87,43 @@ def main():
                 print(json.dumps({"algo": name, "tier": tier,
                                   "error": str(e)[:200]}), flush=True)
                 continue
-            print(json.dumps({
+            rec = {
                 "algo": name, "tier": tier, "robot": args.robot, "batch": B,
                 "us_per_call": round(sec * 1e6, 2),
                 "us_per_sample": round(sec * 1e6 / B, 4),
                 "calls_per_s": round(1.0 / sec, 1),
-            }), flush=True)
+            }
+            # --- roofline legs ------------------------------------------
+            # memory leg: essential HBM traffic = inputs + outputs once
+            # (the fused-kernel design goal: everything else VMEM-resident,
+            # the analog of the reference's shared-memory scratch budgets)
+            try:
+                out = fn(*a)
+                out_bytes = sum(int(np.prod(o.shape)) * o.dtype.itemsize
+                                for o in jax.tree_util.tree_leaves(out))
+                in_bytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                               for x in a)
+                mem_us = (in_bytes + out_bytes) / (args.hbm_gbps * 1e3)
+                rec["hbm_roofline_us"] = round(mem_us, 3)
+                # compute leg: XLA's own FLOP count of the same math (the
+                # unfused trace) against the VPU peak
+                fx = fn if gx is g else getattr(gx, name)
+                comp = (jax.jit(lambda *xs: fx(*xs))
+                        .lower(*a).compile().cost_analysis())
+                flops = float((comp or {}).get("flops", 0.0))
+                if flops > 0:
+                    rec["gflops_per_call"] = round(flops / 1e9, 3)
+                    rec["achieved_gflops_s"] = round(flops / sec / 1e9, 1)
+                    vpu_us = flops / (args.peak_vpu_tflops * 1e6)
+                    rec["roofline_us"] = round(max(mem_us, vpu_us), 3)
+                    rec["sol_pct"] = round(
+                        100.0 * max(mem_us, vpu_us) / (sec * 1e6), 1)
+                else:
+                    rec["roofline_us"] = round(mem_us, 3)
+                    rec["sol_pct"] = round(100.0 * mem_us / (sec * 1e6), 1)
+            except Exception as e:  # noqa: BLE001 — roofline is best-effort
+                rec["roofline_error"] = str(e)[:120]
+            print(json.dumps(rec), flush=True)
 
     backend = jax.default_backend()
     print(json.dumps({"backend": backend, "device": str(jax.devices()[0])}),

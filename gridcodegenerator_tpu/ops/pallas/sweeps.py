@@ -38,6 +38,30 @@ ROLLOUT_BLOCK_B = 256
 RICCATI_BLOCK_B = 128  # (N, nx, nx, bb) inputs: halve the tile for VMEM
 
 
+def riccati_fits(n: int, N: int, stationary_curvature: bool,
+                 block_b: int = RICCATI_BLOCK_B,
+                 budget: int = VMEM_LIMIT) -> bool:
+    """VMEM-fit gate for the fused Riccati sweep: the (N, nx, nx, bb)
+    linearization windows are double-buffered by the pipeline, so
+    humanoid-scale robots overflow the budget (atlas N=16 wants ~114 MB);
+    the XLA ``lax.scan`` path serves those — the ``so_fits`` analog for the
+    sweep kernels."""
+    nx = 2 * n
+    curv = (nx * nx + n * n + n * nx) * (1 if stationary_curvature else N)
+    in_elems = N * (nx * nx + nx * n + nx + n) + curv + nx + nx * nx
+    out_elems = N * (n + n * nx)
+    return 4 * block_b * 2 * (in_elems + out_elems) <= budget
+
+
+def rollout_block_b(model: RobotModel) -> int:
+    """n-aware rollout tile: humanoid-scale robots (n > 12) halve the tile
+    so the per-lane ABA scratch fits VMEM (atlas at 256 lanes overflows the
+    100 MB budget by <1 MB) — the same rule as ``kernels.default_block_b``,
+    the reference's dynamic-shared-memory switch (GRiDCodeGenerator.py:61).
+    """
+    return ROLLOUT_BLOCK_B if model.n <= 12 else ROLLOUT_BLOCK_B // 2
+
+
 def _ld(ref, t):
     """ref[t] for a (N, ...) VMEM ref with a traced time index."""
     idx = (pl.ds(t, 1),) + (slice(None),) * (len(ref.shape) - 1)

@@ -88,6 +88,10 @@ def make_scenario_step(model: RobotModel, cost: CostModel,
         shard_step, mesh=mesh,
         in_specs=(spec_x, spec_U),
         out_specs=(P(), spec_U, P(axes)),
+        # the per-shard solver dispatches fused Pallas kernels whose
+        # ShapeDtypeStruct outputs carry no varying-mesh-axes annotation;
+        # collectives here are explicit (psum/pmin), so skip the vma checker
+        check_vma=False,
     )
     return jax.jit(step)
 

@@ -40,6 +40,14 @@ class CostModel:
     # instead of an (N, ...) stack
     stationary_curvature = False
 
+    # True when stage()/stage_expansion() ignore t: the solver folds the
+    # horizon into the lane axis and evaluates ONE stage call over (N*B)
+    # lanes instead of N unrolled calls — essential for FK-based costs
+    # (EEReachCost), whose per-knot expansion would otherwise duplicate the
+    # whole kinematic-chain trace N times (compile blow-up) and leave the
+    # VPU lanes N-times under-filled at runtime
+    time_invariant = False
+
     def stage(self, x, u, t):
         """-> scalar cost per lane (B,)."""
         raise NotImplementedError
@@ -67,6 +75,12 @@ class QuadCost(CostModel):
     x_goal: jnp.ndarray  # (2n,) or (2n, B)
 
     stationary_curvature = True
+
+    @property
+    def time_invariant(self):
+        # a (2n, B) per-problem goal cannot broadcast against the solver's
+        # (2n, N*B) folded lanes; only the shared-goal form folds
+        return jnp.asarray(self.x_goal).ndim == 1
 
     def _xg(self, x):
         xg = self.x_goal
@@ -109,6 +123,13 @@ class EEReachCost(CostModel):
     w_vel: float = 1e-2
     w_u: float = 1e-4
     ee_index: int = 0
+
+    @property
+    def time_invariant(self):
+        # lets the solver fold the horizon into the lane axis: ONE
+        # FK + Jacobian evaluation over (N*B) lanes per sweep instead of N
+        # unrolled chain traces (see ilqr.make_ilqr)
+        return jnp.asarray(self.goal_xyz).ndim == 1
 
     def _err_jac(self, q):
         """EE xyz error (3,B) + Jacobian (3,n,B) for EE ``ee_index``."""

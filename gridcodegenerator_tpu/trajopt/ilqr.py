@@ -120,14 +120,15 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
             so_blk = _pk.so_block_b(model)
             fused_so = _pk.fdsva_so_pallas(model, cfg.gravity)
         if cfg.fused_sweeps:
-            roll_blk = _ps.ROLLOUT_BLOCK_B
+            roll_blk = _ps.rollout_block_b(model)
             fused_roll = _ps.rollout_pallas(
                 model, N, dt, cfg.gravity, cfg.u_min, cfg.u_max,
                 block_b=roll_blk)
             fused_fb = _ps.linesearch_rollout_pallas(
                 model, N, dt, cfg.gravity, cfg.alphas, cfg.u_min, cfg.u_max,
                 block_b=roll_blk)
-            if not cfg.use_second_order and not cfg.parallel_riccati:
+            if (not cfg.use_second_order and not cfg.parallel_riccati
+                    and _ps.riccati_fits(n, N, stationary_cost)):
                 ric_blk = _ps.RICCATI_BLOCK_B
                 fused_ric = _ps.riccati_pallas(
                     n, N, cfg.reg, dtype=model.Imat.dtype,
@@ -153,19 +154,41 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
             _, Xs = jax.lax.scan(body, x0, U)
         return jnp.concatenate([x0[None], Xs], axis=0)  # (N+1, 2n, B)
 
+    fold_t = getattr(cost, "time_invariant", False)
+
+    def _fold(Z):
+        """(N, d, B) -> (d, N*B), knot-major (lane = t*B + b)."""
+        return jnp.swapaxes(Z, 0, 1).reshape(Z.shape[1], -1)
+
+    def _unfold(z):
+        """(..., N*B) -> (N, ..., B), inverse of :func:`_fold`."""
+        B = z.shape[-1] // N
+        return jnp.moveaxis(z.reshape(z.shape[:-1] + (N, B)), -2, 0)
+
     def total_cost(X, U):
         c = cost.terminal(X[N])
+        if fold_t:
+            # time-invariant cost: ONE stage call over (N*B) lanes — one
+            # trace of any FK chain inside the cost instead of N copies
+            cs = cost.stage(_fold(X[:N]), _fold(U), 0)
+            return c + jnp.sum(cs.reshape(N, -1), axis=0)
         for t in range(N):  # unrolled: t stays static for cost.stage
             c = c + cost.stage(X[t], U[t], t)
         return c
 
     # ------------------------------------------------------------------
     def linearize(X, U):
-        """One fused fd_du call over N*B lanes -> discrete A, B blocks."""
+        """One fused fd_du call over N*B lanes -> discrete A, B blocks.
+
+        Lane layout is KNOT-MAJOR (lane = t*B + b): knot t's problems form
+        one contiguous B-block, matching the ``reshape(.., N, B)`` unfolds
+        below and the per-knot ``dynamic_slice`` of the second-order
+        tensors in ``backward``.
+        """
         B = X.shape[-1]
-        q = jnp.moveaxis(X[:N, :n], 0, -1).reshape(n, N * B)
-        qd = jnp.moveaxis(X[:N, n:], 0, -1).reshape(n, N * B)
-        u = jnp.moveaxis(U, 0, -1).reshape(n, N * B)
+        q = jnp.swapaxes(X[:N, :n], 0, 1).reshape(n, N * B)
+        qd = jnp.swapaxes(X[:N, n:], 0, 1).reshape(n, N * B)
+        u = jnp.swapaxes(U, 0, 1).reshape(n, N * B)
         if fused_fd_du is not None and (N * B) % blk == 0:
             df_du, _, Mi = fused_fd_du(q, qd, u)
         else:
@@ -196,9 +219,21 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
         # carry types match even when lxx is a broadcast constant
         Vxx0 = Vxx0 + 0.0 * Vx0[0]
 
-        exps = [cost.stage_expansion(X[t], U[t], t) for t in range(N)]
-        lx = jnp.stack([e[1] for e in exps])
-        lu = jnp.stack([e[2] for e in exps])
+        if fold_t and not stationary_cost:
+            # time-invariant non-stationary cost (e.g. EEReachCost): ONE
+            # expansion call over (N*B) lanes — one FK/Jacobian trace for
+            # the whole horizon, full lane occupancy
+            _, lxf, luf, lxxf, luuf, luxf = cost.stage_expansion(
+                _fold(X[:N]), _fold(U), 0)
+            lx, lu = _unfold(lxf), _unfold(luf)
+            lxx = _unfold(jnp.broadcast_to(lxxf, (nx, nx, N * B)))
+            luu = _unfold(jnp.broadcast_to(luuf, (n, n, N * B)))
+            lux = _unfold(luxf)
+        else:
+            exps = [cost.stage_expansion(X[t], U[t], t) for t in range(N)]
+            lx = jnp.stack([e[1] for e in exps])
+            lu = jnp.stack([e[2] for e in exps])
+            lxx = luu = lux = None  # filled below unless stationary+fused
 
         if (fused_ric is not None and so_t is None and B % ric_blk == 0):
             # whole backward sweep in one kernel; stationary-curvature costs
@@ -209,6 +244,8 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
                 lxx_in = jnp.broadcast_to(e0[3], (nx, nx, B))
                 luu_in = jnp.broadcast_to(e0[4], (n, n, B))
                 lux_in = jnp.broadcast_to(e0[5], (n, nx, B))
+            elif lxx is not None:
+                lxx_in, luu_in, lux_in = lxx, luu, lux
             else:
                 lxx_in = jnp.stack(
                     [jnp.broadcast_to(e[3], (nx, nx, B)) for e in exps])
@@ -218,9 +255,12 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
             return fused_ric(Amat, Bmat, lx, lu, lxx_in, luu_in, lux_in,
                              Vx0, Vxx0)
 
-        lxx = jnp.stack([jnp.broadcast_to(e[3], (nx, nx, B)) for e in exps])
-        luu = jnp.stack([jnp.broadcast_to(e[4], (n, n, B)) for e in exps])
-        lux = jnp.stack([e[5] for e in exps])
+        if lxx is None:
+            lxx = jnp.stack(
+                [jnp.broadcast_to(e[3], (nx, nx, B)) for e in exps])
+            luu = jnp.stack(
+                [jnp.broadcast_to(e[4], (n, n, B)) for e in exps])
+            lux = jnp.stack([e[5] for e in exps])
 
         if cfg.parallel_riccati and not cfg.use_second_order:
             from .priccati import suffix_value_functions

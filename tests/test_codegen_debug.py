@@ -129,3 +129,93 @@ def test_so_stage_dump_localizes_f32_error():
     from gridcodegenerator_tpu.ops.so import idsva_so_jacfwd
     ref = np.asarray(idsva_so_jacfwd(m64, *lanes(m64, jnp.float64)))
     np.testing.assert_allclose(s64["idsva_so"], ref, atol=1e-9)
+
+
+FOREIGN_URDF = """<?xml version="1.0"?>
+<robot name="crane3">
+  <link name="base">
+    <inertial><origin xyz="0 0 0.05"/><mass value="4.0"/>
+      <inertia ixx="0.05" iyy="0.05" izz="0.02" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+  </link>
+  <link name="tower">
+    <inertial><origin xyz="0 0 0.4"/><mass value="2.5"/>
+      <inertia ixx="0.14" iyy="0.14" izz="0.01" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+  </link>
+  <link name="jib">
+    <inertial><origin xyz="0.5 0 0"/><mass value="1.2"/>
+      <inertia ixx="0.004" iyy="0.11" izz="0.11" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+  </link>
+  <link name="trolley">
+    <inertial><origin xyz="0 0 -0.1"/><mass value="0.6"/>
+      <inertia ixx="0.006" iyy="0.006" izz="0.002" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+  </link>
+  <link name="hook"/>
+  <joint name="slew" type="revolute">
+    <parent link="base"/><child link="tower"/>
+    <origin xyz="0 0 0.1" rpy="0 0 0"/><axis xyz="0 0 1"/>
+    <limit lower="-3.0" upper="3.0" effort="80" velocity="2"/>
+    <dynamics damping="0.2"/>
+  </joint>
+  <joint name="luff" type="revolute">
+    <parent link="tower"/><child link="jib"/>
+    <origin xyz="0 0 0.8" rpy="0.1 0 0"/><axis xyz="0 1 0"/>
+    <limit lower="-1.2" upper="1.2" effort="60" velocity="2"/>
+  </joint>
+  <joint name="trolley_slide" type="prismatic">
+    <parent link="jib"/><child link="trolley"/>
+    <origin xyz="0.2 0 0" rpy="0 0 0"/><axis xyz="1 0 0"/>
+    <limit lower="0.0" upper="0.9" effort="40" velocity="1"/>
+    <dynamics damping="0.05"/>
+  </joint>
+  <joint name="hook_mount" type="fixed">
+    <parent link="trolley"/><child link="hook"/>
+    <origin xyz="0 0 -0.3" rpy="0 0 0"/>
+  </joint>
+</robot>
+"""
+
+
+def test_codegen_foreign_urdf(tmp_path):
+    """Parser + codegen on an input NOT in the zoo: a raw URDF with a
+    revolute/revolute/prismatic chain, a rotated joint origin, damping,
+    limits and a fixed end-effector joint — the reference's own usage
+    pattern (external URDFParser -> gen_all_code; GRiDCodeGenerator.py:309).
+    """
+    from gridcodegenerator_tpu.reference import oracle
+    from gridcodegenerator_tpu.topology.urdf import parse_urdf
+
+    topo = parse_urdf(FOREIGN_URDF)
+    assert topo.get_num_joints() == 3
+    assert [j.jtype for j in topo.joints] == [
+        "revolute", "revolute", "prismatic"]
+    assert len(topo.fixed_joints) == 1 and topo.fixed_joints[0].name == \
+        "hook_mount"
+
+    out = gen_all_code(topo, file_namespace="grid_tpu_crane",
+                       path=str(tmp_path / "grid_tpu_crane.py"))
+    spec = importlib.util.spec_from_file_location("grid_tpu_crane", out)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.NUM_JOINTS == 3 and mod.NUM_EES == 1
+
+    # dynamics from the generated module vs the float64 oracle
+    rng = np.random.default_rng(5)
+    q, qd, qdd = (rng.uniform(-0.8, 0.8, 3) for _ in range(3))
+    c = np.asarray(mod.id(q[None].astype(np.float32),
+                          qd[None].astype(np.float32),
+                          qdd[None].astype(np.float32)))[0]
+    c_ref, _, _, _ = oracle.rnea(topo, q, qd, qdd)
+    np.testing.assert_allclose(c, c_ref, atol=5e-5)
+    M = np.asarray(mod.crba(q[None].astype(np.float32)))[0]
+    Mi = np.asarray(mod.minv(q[None].astype(np.float32)))[0]
+    np.testing.assert_allclose(M @ Mi, np.eye(3), atol=1e-4)
+
+    # kernel-tier binder exists and builds in interpret mode
+    kfn = mod.id_kernel(block_b=2, interpret=True)
+    lane = lambda x: np.tile(x[:, None].astype(np.float32), (1, 2))
+    ck = np.asarray(kfn(lane(q), lane(qd), lane(qdd)))[:, 0]
+    np.testing.assert_allclose(ck, c_ref, atol=5e-5)

@@ -63,10 +63,54 @@ def test_ilqr_converges_quad(pend):
     assert (np.diff(trace, axis=0) <= 1e-5).all()
 
 
+def test_ilqr_converges_iiwa(iiwa):
+    """iiwa-scale (7-DoF) iLQR convergence in CI — the solver behavior the
+    TPU bench exercises, pinned on the CPU suite with a loose budget."""
+    n = iiwa.n
+    cfg = ILQRConfig(N=16, dt=0.02, iters=6)
+    xg = jnp.zeros(2 * n).at[0].set(0.5).at[1].set(0.3)
+    cost = QuadCost(Q=jnp.full(2 * n, 0.1), R=jnp.full(n, 1e-3),
+                    Qf=jnp.full(2 * n, 100.0), x_goal=xg)
+    solve = jax.jit(make_ilqr(iiwa, cost, cfg))
+    B = 2
+    x0 = jnp.zeros((2 * n, B))
+    res = solve(x0, jnp.zeros((cfg.N, n, B)))
+    trace = np.asarray(res.cost_trace)
+    assert (trace[-1] < 0.5 * trace[0]).all(), trace[:, 0]
+    assert (np.diff(trace, axis=0) <= 1e-4).all()
+
+
+def test_ilqr_ee_reach_converges(iiwa):
+    """End-to-end point-to-point EE reach (BASELINE config 3's task): the
+    Gauss-Newton EEReachCost drives the iiwa EE toward the goal."""
+    n = iiwa.n
+    cfg = ILQRConfig(N=12, dt=0.02, iters=6)
+    from gridcodegenerator_tpu.ops import eepose as _eepose
+
+    q_goal = jnp.full((n, 1), 0.4, jnp.float32)
+    goal = _eepose.eepos(iiwa, q_goal)[:3, 0]       # reachable by design
+    cost = EEReachCost(model=iiwa, goal_xyz=goal, w_pos=0.5, w_pos_f=200.0)
+    solve = jax.jit(make_ilqr(iiwa, cost, cfg))
+    x0 = jnp.zeros((2 * n, 1))
+    res = solve(x0, jnp.zeros((cfg.N, n, 1)))
+    trace = np.asarray(res.cost_trace)
+    assert (trace[-1] < 0.5 * trace[0]).all(), trace[:, 0]
+    # terminal EE position moved toward the goal
+    qf = res.X[-1][:n]
+    e0 = np.linalg.norm(np.asarray(
+        _eepose.eepos(iiwa, jnp.zeros((n, 1)))[:3, 0] - goal))
+    ef = np.linalg.norm(np.asarray(_eepose.eepos(iiwa, qf)[:3, 0] - goal))
+    assert ef < 0.5 * e0, (ef, e0)
+
+
 def test_ilqr_batched_independent(pend):
-    """Batched problems match individually-solved problems."""
+    """Batched problems match individually-solved problems — to the
+    TRAJECTORY level, at few iterations (a final-cost-only check let a
+    knot/problem lane-scramble in ``linearize`` slip through round 1:
+    b-major fold vs t-major unfold mixed problems' linearizations whenever
+    B != N, and the line search masked it as slow convergence)."""
     n = pend.n
-    cfg = ILQRConfig(N=12, dt=0.02, iters=4)
+    cfg = ILQRConfig(N=12, dt=0.02, iters=2)
     xg = jnp.zeros(2 * n).at[0].set(0.4)
     cost = QuadCost(Q=jnp.full(2 * n, 0.1), R=jnp.full(n, 1e-3),
                     Qf=jnp.full(2 * n, 50.0), x_goal=xg)
@@ -74,9 +118,13 @@ def test_ilqr_batched_independent(pend):
     rng = np.random.default_rng(1)
     x0 = jnp.asarray(rng.uniform(-0.3, 0.3, (2 * n, 4)), jnp.float32)
     res_b = solve(x0, jnp.zeros((cfg.N, n, 4)))
-    res_0 = solve(x0[:, :1], jnp.zeros((cfg.N, n, 1)))
-    np.testing.assert_allclose(np.asarray(res_b.cost)[0],
-                               np.asarray(res_0.cost)[0], rtol=1e-4)
+    for b in (0, 3):
+        res_1 = solve(x0[:, b:b + 1], jnp.zeros((cfg.N, n, 1)))
+        np.testing.assert_allclose(np.asarray(res_b.U)[:, :, b],
+                                   np.asarray(res_1.U)[:, :, 0],
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(res_b.cost)[b],
+                                   np.asarray(res_1.cost)[0], rtol=1e-5)
 
 
 def test_sqp_second_order_runs(pend):
