@@ -41,14 +41,27 @@ def repeat_inside_jit(fn: Callable, args: Sequence, iters: int) -> Callable:
 
 def time_kernel(fn: Callable, args: Sequence, iters: int = 50,
                 warmup: bool = True) -> float:
-    """Median-of-3 per-evaluation seconds for ``fn(*args)``."""
-    run = repeat_inside_jit(fn, args, iters)
+    """Median-of-3 per-evaluation seconds for ``fn(*args)``.
+
+    DIFFERENTIAL measurement: every program launch through the remote
+    tunnel carries a fixed ~20 ms dispatch cost that a single
+    divide-by-iters cannot remove (at iters=200 it inflates a 5 us kernel
+    to ~105 us). Timing the K-iteration and 4K-iteration programs and
+    taking (T_4K - T_K) / 3K cancels the offset exactly — the
+    ``_single_timing`` harness with the launch latency subtracted out.
+    """
+    run_k = repeat_inside_jit(fn, args, iters)
+    run_4k = repeat_inside_jit(fn, args, 4 * iters)
     if warmup:
-        jax.block_until_ready(run())
+        jax.block_until_ready(run_k())
+        jax.block_until_ready(run_4k())
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(run())
-        ts.append((time.perf_counter() - t0) / iters)
+        jax.block_until_ready(run_k())
+        t1 = time.perf_counter()
+        jax.block_until_ready(run_4k())
+        t2 = time.perf_counter()
+        ts.append(((t2 - t1) - (t1 - t0)) / (3 * iters))
     ts.sort()
-    return ts[1]
+    return max(ts[1], 1e-9)
