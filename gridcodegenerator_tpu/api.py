@@ -311,7 +311,7 @@ class GRiD:
                         lambda: _pk.idsva_so_pallas(self.model, self.gravity),
                         (qk, qdk, qddk),
                         block=_pk.so_block_b(self.model),
-                        enabled=_pk.so_fits(self.model))
+                        enabled=_pk.so_prefer_fused(self.model))
         return self._out(out, ub)
 
     def fdsva_so(self, q, qd, u):
@@ -324,7 +324,7 @@ class GRiD:
                         lambda: _pk.fdsva_so_pallas(self.model, self.gravity),
                         (qk, qdk, uk),
                         block=_pk.so_block_b(self.model),
-                        enabled=_pk.so_fits(self.model))
+                        enabled=_pk.so_prefer_fused(self.model))
         return self._out(out, ub)
 
     def eepos(self, q):

@@ -200,8 +200,23 @@ FDSVA_MONO_MAX_NV = 16  # ceiling for the MONOLITHIC fused FDSVA-SO kernel:
                    # SVA stages fused and moves the contractions to the MXU
 
 
+SO_FUSED_PREFER_NV = 16  # measured dispatch threshold: fused SO wins ~2x
+                   # through quadruped scale (iiwa 121 vs 235 us, hyq 105 us
+                   # @ B=1024) but LOSES by ~10x at humanoid scale — the
+                   # (4, nv^3, B) output write is HBM-roofline work XLA
+                   # already saturates (atlas XLA ~0.4 us/sample = output
+                   # write speed-of-light) while the big Mosaic body
+                   # serializes. The API dispatches fused only at/below this.
+
+
 def so_fits(model: RobotModel) -> bool:
+    """Capability gate: the fused SO kernels compile at or below SO_MAX_NV."""
     return model.num_vel <= SO_MAX_NV
+
+
+def so_prefer_fused(model: RobotModel) -> bool:
+    """Dispatch gate: fused SO only where it is measured faster than XLA."""
+    return model.num_vel <= SO_FUSED_PREFER_NV
 
 
 def ee_hess_fits(model: RobotModel, num_ees: int) -> bool:

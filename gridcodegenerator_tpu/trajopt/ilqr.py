@@ -116,7 +116,7 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
         fused_fd_du = _pk.fd_du_pallas(model, cfg.gravity, block_b=blk,
                                        with_extras=True)
         fused_aba = _pk.aba_pallas(model, cfg.gravity, block_b=blk)
-        if cfg.use_second_order and _pk.so_fits(model):
+        if cfg.use_second_order and _pk.so_prefer_fused(model):
             so_blk = _pk.so_block_b(model)
             fused_so = _pk.fdsva_so_pallas(model, cfg.gravity)
         if cfg.fused_sweeps:
