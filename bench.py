@@ -110,9 +110,18 @@ def config3(jnp, jax):
     U0 = jnp.zeros((N, n, B), jnp.float32)
 
     dt = time_kernel(lambda a_, b_: solve(a_, b_).cost, (x0, U0), iters=10)
+
+    # secondary: the joint-space tracking task (round-1's headline shape)
+    from gridcodegenerator_tpu.trajopt.cost import QuadCost
+    xg = jnp.zeros(2 * n).at[0].set(1.0).at[1].set(0.5)
+    qcost = QuadCost(Q=jnp.full(2 * n, 0.1), R=jnp.full(n, 1e-3),
+                     Qf=jnp.full(2 * n, 100.0), x_goal=xg)
+    qsolve = make_ilqr(model, qcost, cfg)
+    dtq = time_kernel(lambda a_, b_: qsolve(a_, b_).cost, (x0, U0), iters=10)
     return {"config": 3, "metric": "mpc_solves_per_s_per_chip_iiwa_N64",
             "task": "ee_reach", "batch": B, "knots": N, "iters": ITERS,
-            "solves_per_s": round(B / dt, 1)}
+            "solves_per_s": round(B / dt, 1),
+            "quad_task_solves_per_s": round(B / dtq, 1)}
 
 
 def config4(jnp, jax):

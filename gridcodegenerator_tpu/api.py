@@ -380,6 +380,24 @@ class GRiD:
         return self.id(q_qd_qdd[..., :np_], q_qd_qdd[..., np_:np_ + nv],
                        q_qd_qdd[..., np_ + nv:])
 
+    def _unpack3(self, q_qd_u):
+        np_, nv = self.num_pos, self.num_vel
+        return (q_qd_u[..., :np_], q_qd_u[..., np_:np_ + nv],
+                q_qd_u[..., np_ + nv:])
+
+    def aba_packed(self, q_qd_u):
+        """Packed stride-(num_pos+2nv) input (USE_COMPRESSED_MEM analog)."""
+        return self.aba(*self._unpack3(q_qd_u))
+
+    def fd_packed(self, q_qd_u):
+        return self.fd(*self._unpack3(q_qd_u))
+
+    def idsva_so_packed(self, q_qd_qdd):
+        return self.idsva_so(*self._unpack3(q_qd_qdd))
+
+    def fdsva_so_packed(self, q_qd_u):
+        return self.fdsva_so(*self._unpack3(q_qd_u))
+
     # ------------------------------------------------------------------
     def joint_limits(self) -> np.ndarray:
         return np.asarray(self.model.joint_limits)

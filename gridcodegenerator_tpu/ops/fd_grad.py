@@ -30,18 +30,26 @@ def fd_grad(
     u: jnp.ndarray,
     GRAVITY: float = DEFAULT_GRAVITY,
     return_extras: bool = False,
+    qdd: Optional[jnp.ndarray] = None,
 ):
     """df_du = [dqdd/dq | dqdd/dqd]: (nv, 2*nv, B).
 
     With ``return_extras``: (df_du, qdd, Minv_dense) — Minv is df/dtau.
+
+    ``qdd``: pass the already-realized accelerations to skip the internal
+    forward-dynamics solve (bias RNEA + triangular substitution) — the
+    reference's ``USE_QDD_MINV_FLAG`` template variant
+    (``_forward_dynamics_gradient.py:209``). Minv is still factorized (it
+    is the output ``df/dtau`` and the ``-Minv @ dc_du`` projector).
     """
     Xs = all_xmats(model, q)
-    # bias torque at qdd = 0 and the mass-matrix inverse
-    v0, a0, f0 = rnea_fpass(model, Xs, qd, None, GRAVITY)
-    c, _ = rnea_bpass(model, Xs, qd, f0)
     Mu, _ = minv_factors(model, q, Xs=Xs)
     Mi = densify(Mu)
-    qdd = bmv(Mi, u - c)
+    if qdd is None:
+        # bias torque at qdd = 0, then qdd = Minv (u - c)
+        v0, a0, f0 = rnea_fpass(model, Xs, qd, None, GRAVITY)
+        c, _ = rnea_bpass(model, Xs, qd, f0)
+        qdd = bmv(Mi, u - c)
     # RNEA intermediates at the realized qdd, then the ID gradient (the
     # wave algorithm covers floating base with a 6-wide base column block)
     v, a, f = rnea_fpass(model, Xs, qd, qdd, GRAVITY)

@@ -223,3 +223,42 @@ def test_error_guards():
     assert lims.shape == (4,) and lims.all()
     big = np.full((1, g.num_pos), 100.0)
     assert not check_joint_limits(g.model, big).any()
+
+
+def test_fd_grad_with_realized_qdd_matches():
+    """The USE_QDD_MINV_FLAG analog: passing the realized qdd skips the
+    internal FD solve and yields the identical gradient
+    (``_forward_dynamics_gradient.py:209``)."""
+    from gridcodegenerator_tpu.ops.fd import forward_dynamics
+    from gridcodegenerator_tpu.ops.fd_grad import fd_grad
+
+    model = build_model(load_robot("hyq"), dtype=jnp.float64)
+    n = model.n
+    rng = np.random.default_rng(2)
+    q, qd, u = (jnp.asarray(rng.uniform(-1, 1, (n, 3))) for _ in range(3))
+    qdd = forward_dynamics(model, q, qd, u)
+    a = np.asarray(fd_grad(model, q, qd, u))
+    b = np.asarray(fd_grad(model, q, qd, u, qdd=qdd))
+    np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_packed_input_helpers_match():
+    """gridData-layout packed inputs equal the separated-argument calls
+    (the USE_COMPRESSED_MEM q_qd_u stride buffers,
+    ``GRiDCodeGenerator.py:163-183``)."""
+    from gridcodegenerator_tpu.api import GRiD
+
+    g = GRiD("iiwa", dtype=jnp.float64, use_pallas=False)
+    rng = np.random.default_rng(3)
+    B = 4
+    packed = rng.uniform(-1, 1, (B, g.num_pos + 2 * g.num_vel))
+    q, qd, u = (packed[:, :g.num_pos], packed[:, g.num_pos:g.num_pos + g.num_vel],
+                packed[:, g.num_pos + g.num_vel:])
+    np.testing.assert_allclose(np.asarray(g.aba_packed(packed)),
+                               np.asarray(g.aba(q, qd, u)), atol=0)
+    np.testing.assert_allclose(np.asarray(g.fd_packed(packed)),
+                               np.asarray(g.fd(q, qd, u)), atol=0)
+    np.testing.assert_allclose(np.asarray(g.fd_du_packed(packed)),
+                               np.asarray(g.fd_du(q, qd, u)), atol=0)
+    np.testing.assert_allclose(np.asarray(g.fdsva_so_packed(packed)),
+                               np.asarray(g.fdsva_so(q, qd, u)), atol=0)
