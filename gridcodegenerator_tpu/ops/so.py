@@ -383,19 +383,15 @@ def _xinv_motion(X):
     return jnp.concatenate([top, bot], axis=0)
 
 
-def idsva_so_analytical(
-    model: RobotModel,
-    q: jnp.ndarray,
-    qd: jnp.ndarray,
-    qdd: Optional[jnp.ndarray] = None,
-    GRAVITY: float = DEFAULT_GRAVITY,
-    return_stages: bool = False,
-) -> jnp.ndarray:
-    """Analytical second-order inverse dynamics: (4, nv, nv, nv, B)
-    [d2tau/dq2, d2tau/dqd2, d2tau/dqd dq, dM/dq] — same layout as
-    :func:`idsva_so` (parity-tested against it)."""
+def _sva_so_stages(model: RobotModel, q, qd, qdd, GRAVITY):
+    """Forward/backward SVA second-order stage quantities, shared by the
+    loop-unrolled (:func:`idsva_so_analytical`) and dense masked-tensor
+    (:func:`idsva_so_dense`) routes. Returns per-joint LISTS (the reference
+    stage set: ``/root/reference/algorithms/_idsva_so.py:242-532`` —
+    S/v/a/psid/psidd/Sd, composite IC/BC/f, D1-D4 matrices, T1-T4 vectors,
+    cross-product matrices)."""
     from .common import gravity_accel
-    from .spatial import bmm, bmv, dot6
+    from .spatial import bmm, bmv
     from .xforms import all_xmats
 
     _check_fixed_base(model)
@@ -473,6 +469,41 @@ def idsva_so_analytical(
                  + bmv(_icrf_mat(f[i]), S[i]))
         T4[i] = bmv(BC[i], S[i]) + bmv(IC[i], psid[i] + Sd[i])
         crfSIC[i] = bmm(crf_Si, IC[i])
+
+    return dict(S=S, v=v, a=a, psid=psid, psidd=psidd, Sd=Sd,
+                IC=IC, BC=BC, f=f, D1=D1, D2=D2, D3=D3, D4=D4,
+                T1=T1, T2=T2, T3=T3, T4=T4,
+                crm_S=crm_S, crm_psid=crm_psid, crfSIC=crfSIC)
+
+
+def idsva_so_analytical(
+    model: RobotModel,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    qdd: Optional[jnp.ndarray] = None,
+    GRAVITY: float = DEFAULT_GRAVITY,
+    return_stages: bool = False,
+) -> jnp.ndarray:
+    """Analytical second-order inverse dynamics: (4, nv, nv, nv, B)
+    [d2tau/dq2, d2tau/dqd2, d2tau/dqd dq, dM/dq] — same layout as
+    :func:`idsva_so` (parity-tested against it).
+
+    Trace-time loop-unrolled form: every valid (joint, ancestor, subtree)
+    triple contributes individual (B,) lane ops. Compact graphs at arm /
+    quadruped scale; for humanoid-scale robots prefer
+    :func:`idsva_so_dense` (same math, masked dense contractions)."""
+    from .spatial import bmv, dot6
+
+    n = model.n
+    B = qd.shape[-1]
+    dtype = qd.dtype
+    st_ = _sva_so_stages(model, q, qd, qdd, GRAVITY)
+    S, v, a, psid, psidd, Sd = (st_[k] for k in
+                                ("S", "v", "a", "psid", "psidd", "Sd"))
+    IC, BC, f = st_["IC"], st_["BC"], st_["f"]
+    D1, D2, D3, D4 = st_["D1"], st_["D2"], st_["D3"], st_["D4"]
+    T1, T2, T3, T4 = st_["T1"], st_["T2"], st_["T3"], st_["T4"]
+    crm_S, crm_psid, crfSIC = st_["crm_S"], st_["crm_psid"], st_["crfSIC"]
 
     # trace-time output dicts of (B,) lanes
     zero = jnp.zeros((B,), dtype)
@@ -631,3 +662,180 @@ def idsva_so_analytical(
         }
         return out, stages
     return out
+
+
+# ---------------------------------------------------------------------------
+# Dense masked-tensor route (humanoid scale)
+# ---------------------------------------------------------------------------
+
+def _so_masks(model: RobotModel, dtype):
+    """Static (n,n,n) 0/1 masks over (subtree st, ancestor a, joint j)
+    encoding the reference's jid/ancestor/subtree triple enumeration
+    (``/root/reference/algorithms/_idsva_so.py:536-556`` t_index_map and
+    jids/ancestors/subtree static index arrays)."""
+    import numpy as np
+
+    n = model.n
+    Astr = np.zeros((n, n), np.float64)   # Astr[j, a]: a strict ancestor of j
+    Sub = np.zeros((n, n), np.float64)    # Sub[j, st]: st in subtree(j)
+    for j in range(n):
+        Astr[j, list(model.ancestors[j])] = 1.0
+        Sub[j, list(model.subtree[j])] = 1.0
+    A = Astr + np.eye(n)
+    ne = 1.0 - np.eye(n)                  # ne[s, j]: s != j
+    # saj order: m[s, a, j]
+    m_all = Sub.T[:, None, :] * A.T[None, :, :]
+    m_ne = m_all * ne[:, None, :]
+    m_str = Sub.T[:, None, :] * Astr.T[None, :, :]
+    m_str_ne = m_str * ne[:, None, :]
+    m_eq = Sub.T[:, None, :] * np.eye(n)[None, :, :]
+    masks = dict(m_all=m_all, m_ne=m_ne, m_str=m_str,
+                 m_str_ne=m_str_ne, m_eq=m_eq,
+                 # jas order (p1-p6 correction terms): mj[j, a, s]
+                 mj_all=m_all.transpose(2, 1, 0),
+                 mj_str=m_str.transpose(2, 1, 0),
+                 mj_str_ne=m_str_ne.transpose(2, 1, 0),
+                 astr=Astr)
+    return {k: jnp.asarray(v, dtype) for k, v in masks.items()}
+
+
+def _mm6(D, w):
+    """Y[s,m,x,B] = sum_y D[s,x,y,B] w[m,y,B]; D (n,6,6,B), w (n,6,B).
+    Unrolled over the 6-dim so Mosaic/XLA keep it in VPU lane fusions
+    (no bf16 dot_general contraction at K=6)."""
+    return sum(D[:, None, :, y, :] * w[None, :, y, None, :] for y in range(6))
+
+
+def _probe6(u, Y):
+    """g[s,m,k,B] = sum_x u[k,x,B] Y[s,m,x,B]; u (n,6,B), Y (n,n,6,B)."""
+    return sum(Y[:, :, None, x, :] * u[None, None, :, x, :] for x in range(6))
+
+
+def _pvec6(M, w):
+    """P[j,a,x,B] = sum_y M[a,x,y,B] w[j,y,B]; M (n,6,6,B), w (n,6,B)."""
+    return sum(M[None, :, :, y, :] * w[:, None, y, None, :] for y in range(6))
+
+
+def _pairdot6(P, T):
+    """C[j,a,s,B] = sum_x P[j,a,x,B] T[s,x,B]; P (n,n,6,B), T (n,6,B)."""
+    return sum(P[:, :, None, x, :] * T[None, None, :, x, :] for x in range(6))
+
+
+def idsva_so_dense(
+    model: RobotModel,
+    q: jnp.ndarray,
+    qd: jnp.ndarray,
+    qdd: Optional[jnp.ndarray] = None,
+    GRAVITY: float = DEFAULT_GRAVITY,
+) -> jnp.ndarray:
+    """Tensorized IDSVA-SO: identical math and output layout to
+    :func:`idsva_so_analytical`, with the nine outer-product stages
+    (``/root/reference/algorithms/_idsva_so.py:536-850``) and the p1-p6
+    cross-product corrections (``:852-912``) evaluated as DENSE masked
+    batched contractions over stacked per-joint stage tensors, instead of
+    one (B,) lane op per (joint, ancestor, subtree) triple.
+
+    This is the humanoid-scale route (the reference's global-memory spill
+    regime, ``_idsva_so.py:1,1003-1005``, redesigned for XLA): trace/compile
+    cost is a fixed number of large ops independent of topology, and the
+    whole assembly fuses into output-write-bound VPU loops. At arm scale the
+    loop-unrolled form wins (smaller intermediates); :func:`idsva_so`
+    dispatches on ``SO_DENSE_MIN_NV``."""
+    n = model.n
+    dtype = qd.dtype
+    st = _sva_so_stages(model, q, qd, qdd, GRAVITY)
+    S = jnp.stack(st["S"])            # (n, 6, B)
+    psid = jnp.stack(st["psid"])
+    psidd = jnp.stack(st["psidd"])
+    psid_Sd = jnp.stack([st["psid"][i] + st["Sd"][i] for i in range(n)])
+    D1 = jnp.stack(st["D1"])          # (n, 6, 6, B)
+    D2 = jnp.stack(st["D2"])
+    D3 = jnp.stack(st["D3"])
+    D4 = jnp.stack(st["D4"])
+    T1 = jnp.stack(st["T1"])          # (n, 6, B)
+    T2 = jnp.stack(st["T2"])
+    T3 = jnp.stack(st["T3"])
+    T4 = jnp.stack(st["T4"])
+    crm_S = jnp.stack(st["crm_S"])    # (n, 6, 6, B)
+    crm_psid = jnp.stack(st["crm_psid"])
+    crfSIC = jnp.stack(st["crfSIC"])
+    crm_psidd = jnp.stack([_crm_mat(st["psidd"][i]) for i in range(n)])
+    crm_psid_Sd = jnp.stack([_crm_mat(st["psid"][i] + st["Sd"][i])
+                             for i in range(n)])
+
+    mk = _so_masks(model, dtype)
+
+    # mid-stage tensors Y[s,m,x] = D?[s] @ vec[m]; terms that always share a
+    # mask and target (t1+t4 -> Yq, t2+t5 / t8+t9 -> Yv) are merged before
+    # the n^3 expansion
+    Y3p = _mm6(D3, psid)
+    Yq = _mm6(D2, psid) + _mm6(D1, psidd)
+    Y3S = _mm6(D3, S)
+    Y1S = _mm6(D1, S)
+    Yv = _mm6(D2, S) + _mm6(D1, psid_Sd)
+    Y4S = _mm6(D4, S)
+
+    # probe tensors g[s, m, k, B] = vec_k . Y[s, m]
+    A3 = _probe6(S, Y3p)
+    Gq = _probe6(S, Yq)
+    B3 = _probe6(S, Y3S)
+    B1 = _probe6(S, Y1S)
+    Gv = _probe6(S, Yv)
+    B4 = _probe6(S, Y4S)
+    P3 = _probe6(psid, Y3p)
+
+    def sw(g):                        # S_a . (D[st] vec_j): swap (m, k)
+        return jnp.swapaxes(g, 1, 2)
+
+    def c(g, m, perm):                # masked permuted contribution
+        return jnp.transpose(g * mk[m][..., None], perm + (3,))
+
+    # p1-p6 correction families over (j, a) pairs
+    P1 = _pvec6(crm_psid, S)                       # crm(psid_a) S_j
+    P2 = _pvec6(crm_psidd, S)
+    P3v = _pvec6(crm_S, S)                         # crm(S_a) S_j
+    P4 = (_pvec6(crm_psid_Sd, S)
+          - 2.0 * jnp.swapaxes(P1, 0, 1))          # - 2 crm(psid_j) S_a
+    P5 = jnp.swapaxes(P3v, 0, 1)                   # crm(S_j) S_a
+    C12 = -_pairdot6(P1, T2) + _pairdot6(P2, T1)   # (j, a, s, B)
+    CV = -_pairdot6(P3v, T2) + _pairdot6(P4, T1)
+    C5 = _pairdot6(P5, T3)
+    C54 = _pairdot6(P5, T4)
+    # p6 diagonal: dqd2[a, j, j] += S_j . (crm(S_a)^T T1_j + crfSIC_j^T S_a)
+    P6 = (_pvec6(jnp.swapaxes(crm_S, 1, 2), T1)
+          + jnp.swapaxes(_pvec6(jnp.swapaxes(crfSIC, 1, 2), S), 0, 1))
+    d6 = sum(P6[:, :, x, :] * S[:, None, x, :] for x in range(6))  # (j,a,B)
+    eye = jnp.asarray(jnp.eye(n), dtype)
+    diag6 = (jnp.swapaxes(d6 * mk["astr"][:, :, None], 0, 1)[:, :, None, :]
+             * eye[None, :, :, None])              # (a, j, k=j, B)
+
+    dq2 = (c(Gq, "m_ne", (2, 0, 1)) + c(Gq, "m_ne", (2, 1, 0))
+           - c(P3, "m_all", (0, 1, 2)) - c(P3, "m_str", (0, 2, 1))
+           + c(sw(Gq), "m_str", (1, 2, 0)) + c(sw(Gq), "m_str_ne", (1, 0, 2))
+           + c(C12, "mj_all", (2, 1, 0)) + c(C12, "mj_str", (2, 0, 1))
+           - c(C5, "mj_str", (1, 0, 2)) - c(C5, "mj_str_ne", (1, 2, 0)))
+
+    dqd2 = (-c(B3, "m_str", (0, 2, 1)) - c(B3, "m_str", (0, 1, 2))
+            - c(B1, "m_eq", (0, 1, 2))
+            + c(B3, "m_ne", (2, 0, 1)) + c(B3, "m_ne", (2, 1, 0))
+            + c(sw(B3), "m_str_ne", (1, 2, 0))
+            + c(sw(B3), "m_str_ne", (1, 0, 2))
+            + diag6)
+
+    dvdq = (-c(A3, "m_all", (0, 1, 2)) + c(A3, "m_ne", (2, 1, 0))
+            + c(Gv, "m_ne", (2, 0, 1))
+            - c(sw(A3), "m_str", (0, 2, 1)) + c(sw(A3), "m_str", (1, 2, 0))
+            + c(sw(Gv), "m_str_ne", (1, 0, 2))
+            + c(CV, "mj_str", (2, 0, 1)) - c(C54, "mj_str", (1, 0, 2)))
+
+    # t8's dM[a_,st,j] / dM[j,st,a_] pair coincides when a_ == j (the loop
+    # form's dict assignment writes the same key twice); count it once by
+    # restricting the second write to strict ancestors
+    dM = (c(sw(B4), "m_str", (1, 2, 0)) + c(sw(B4), "m_str", (0, 2, 1))
+          + c(sw(B1), "m_ne", (1, 0, 2)) + c(sw(B1), "m_str_ne", (2, 0, 1)))
+
+    # cross/dM transpose the last two index axes into the oracle layout
+    # (same as the loop route's tensor(d, transpose=True))
+    return jnp.stack([dq2, dqd2,
+                      jnp.transpose(dvdq, (0, 2, 1, 3)),
+                      jnp.transpose(dM, (0, 2, 1, 3))])

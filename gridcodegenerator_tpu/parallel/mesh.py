@@ -87,10 +87,17 @@ def make_hybrid_mesh(axis_names: Tuple[str, ...] = ("dp", "kp"),
         assert per_host % kp_size == 0, (
             "kp (ICI) axis must fit within one host", kp_size, per_host)
         assert dp_size % n_hosts == 0, (dp_size, n_hosts)
+        # The DCN granule must tile dcn_mesh_shape=(n_hosts, 1): use TPU
+        # slice_index when the devices actually span n_hosts slices
+        # (multislice pods), else fall back to one-granule-per-process
+        # (multi-host single slice, and the multi-process CPU proof
+        # harness benchmarks/multihost.py, where every device reports
+        # slice_index 0).
+        n_slices = len({getattr(d, "slice_index", None) for d in devs})
         arr = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(dp_size // n_hosts, kp_size),   # per-host (ICI)
             dcn_mesh_shape=(n_hosts, 1),                # dp spans DCN
-            devices=devs)
+            devices=devs, process_is_granule=(n_slices != n_hosts))
     else:
         arr = np.asarray(devs).reshape(dp_size, kp_size)
     return Mesh(arr, axis_names)
