@@ -4,16 +4,24 @@ The reference delegates robot models to external URDF files consumed through
 its URDFParser dependency (``/root/reference/README.md:8-13``); this framework
 bundles representative robots of each topology class the reference targets:
 
-* ``iiwa``      — 7-DoF revolute serial chain (the GRiD paper's headline arm)
-* ``hyq``       — 12-DoF branched quadruped (4 legs x 3), repeated parents
-* ``atlas``     — 28-DoF branched humanoid (torso/neck/arms/legs)
+* ``iiwa``      — 7-DoF revolute serial chain; joint layout AND inertial
+  parameters follow the public ``iiwa_description`` iiwa14 values (masses
+  4/4/3/2.7/1.7/1.8/0.3 kg, link offsets 0.1575/0.2025/... m)
+* ``iiwa14``    — the checked-in vendor URDF (``models/vendor/iiwa14.urdf``)
+  with the full ``iiwa_description`` parameter set incl. per-joint effort/
+  velocity limits — the "robot the builder did not invent" anchor
+* ``hyq``       — 12-DoF branched quadruped (4 legs x 3), repeated parents;
+  representative (class-accurate) inertias
+* ``atlas``     — 28-DoF branched humanoid (torso/neck/arms/legs);
+  representative (class-accurate) inertias
 * ``pendulum``  — 2-DoF chain for hand-checkable tests
 * ``*_floating``— floating-base variants (quaternion root, 7 q / 6 qd extra)
 
 Each spec emits a URDF XML string (so the bundled models also exercise the
-parser) and is cached after first parse. Inertial parameters are plausible
-physical values; all tests are self-consistency + autodiff cross-checks, so
-exact vendor calibration is not required.
+parser) and is cached after first parse. Correctness does NOT rest on these
+models: every robot here (vendor-accurate or representative) is
+cross-validated against MuJoCo — an independent third-party dynamics engine
+— by ``benchmarks/crosscheck.py`` and ``tests/test_crosscheck.py``.
 """
 
 from __future__ import annotations
@@ -227,8 +235,17 @@ def mixed_chain_urdf() -> str:
 # public factories
 # ---------------------------------------------------------------------------
 
+def _vendor_urdf(fname: str) -> str:
+    """Checked-in vendor URDF (real robot parameters; see models/vendor/)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "vendor", fname)
+    with open(path) as f:
+        return f.read()
+
+
 _URDF_SOURCES = {
     "iiwa": iiwa_urdf,
+    "iiwa14": lambda: _vendor_urdf("iiwa14.urdf"),
     "hyq": hyq_urdf,
     "atlas": atlas_urdf,
     "pendulum2": lambda: pendulum_urdf(2),

@@ -73,8 +73,12 @@ def joint_xmat(model: RobotModel, i: int, qi) -> jnp.ndarray:
             2: [[z, -qi, z], [qi, z, z], [z, z, z]],
         }[k]
         sk = jnp.stack([jnp.stack(r) for r in sk_rows])  # (3,3,B)
-        top = jnp.broadcast_to(XT[:3, :, None], (3, 6, qi.shape[0]))
-        bot = XT[3:, :, None] - _mm3_const(sk, XT[:3, :])
+        # lax slice + expand_dims, NOT `XT[:3, :, None]`: mixed slice/newaxis
+        # indexing rewrites to a gather, which Mosaic rejects in fused kernels
+        XT_top = lax.expand_dims(lax.slice_in_dim(XT, 0, 3, axis=0), (2,))
+        XT_bot = lax.expand_dims(lax.slice_in_dim(XT, 3, 6, axis=0), (2,))
+        top = jnp.broadcast_to(XT_top, (3, 6, qi.shape[0]))
+        bot = XT_bot - _mm3_const(sk, XT[:3, :])
         return jnp.concatenate([top, bot], axis=0)
     raise NotImplementedError(model.jtype[i])
 

@@ -209,8 +209,19 @@ def parse_urdf(
                     limit_lower=lo, limit_upper=hi,
                     parent_link=link_name, child_link=cl))
                 m, c, I = _parse_inertial(links[cl])
-                Imats.append(spatial_inertia(m, c, I))
-                queue.append((cl, jid, np.eye(4)))
+                # Axis normalization rotated the joint (= child link) frame by
+                # R_extra (URDF coords = R_extra @ our coords). Everything
+                # specified in the URDF child frame — this link's inertia and
+                # all descendant joint origins — must be re-expressed in the
+                # rotated frame: T_corr maps URDF child coords to our coords.
+                # (Cross-validated against MuJoCo on a skew-axis chain; the
+                # identity-R_extra fast path is the common URDF case.)
+                T_corr = xform_hom_from_R_p(R_extra.T, np.zeros(3))
+                I6 = spatial_inertia(m, c, I)
+                if not np.allclose(R_extra, np.eye(3)):
+                    I6 = _merge_inertia(np.zeros((6, 6)), T_corr, I6)
+                Imats.append(I6)
+                queue.append((cl, jid, T_corr))
                 continue
             raise ValueError(f"unsupported joint type {jtype!r} ({jname})")
 
