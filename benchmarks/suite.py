@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -49,17 +50,16 @@ def main():
     from gridcodegenerator_tpu.api import GRiD
     from gridcodegenerator_tpu.utils.timing import time_kernel
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from benchmarks.flops import algo_flops
+
     B = args.batch
     rng = np.random.default_rng(0)
 
     def bench(tier, use_pallas):
         g = GRiD(args.robot, dtype=jnp.float32, use_pallas=use_pallas,
                  block_b=min(256, B))
-        # FLOP counts always come from the XLA trace of the same math (a
-        # Pallas custom-call is opaque to XLA's cost model); the compile is
-        # shared with the xla tier via the compilation cache
-        gx = (g if not use_pallas
-              else GRiD(args.robot, dtype=jnp.float32, use_pallas=False))
         n, npos = g.num_vel, g.num_pos
         q = jnp.asarray(rng.uniform(-1, 1, (B, npos)), jnp.float32)
         qd, u = (jnp.asarray(rng.uniform(-1, 1, (B, n)), jnp.float32)
@@ -105,22 +105,21 @@ def main():
                                for x in a)
                 mem_us = (in_bytes + out_bytes) / (args.hbm_gbps * 1e3)
                 rec["hbm_roofline_us"] = round(mem_us, 3)
-                # compute leg: XLA's own FLOP count of the same math (the
-                # unfused trace) against the VPU peak
-                fx = fn if gx is g else getattr(gx, name)
-                comp = (jax.jit(lambda *xs: fx(*xs))
-                        .lower(*a).compile().cost_analysis())
-                flops = float((comp or {}).get("flops", 0.0))
-                if flops > 0:
-                    rec["gflops_per_call"] = round(flops / 1e9, 3)
-                    rec["achieved_gflops_s"] = round(flops / sec / 1e9, 1)
-                    vpu_us = flops / (args.peak_vpu_tflops * 1e6)
-                    rec["roofline_us"] = round(max(mem_us, vpu_us), 3)
-                    rec["sol_pct"] = round(
-                        100.0 * max(mem_us, vpu_us) / (sec * 1e6), 1)
-                else:
-                    rec["roofline_us"] = round(mem_us, 3)
-                    rec["sol_pct"] = round(100.0 * mem_us / (sec * 1e6), 1)
+                # compute leg: hand-counted essential FLOPs of the wave
+                # algorithm (benchmarks/flops.py — static topology formulas,
+                # the reference's scratch-size-formula style) against the
+                # VPU non-FMA peak. Never XLA cost analysis: it counts the
+                # materialized unfused graph, not the algorithm, and put
+                # fused rows above 100% "speed of light" in round 2.
+                flops = algo_flops(g.model, name) * B
+                rec["gflops_per_call"] = round(flops / 1e9, 3)
+                rec["achieved_gflops_s"] = round(flops / sec / 1e9, 1)
+                vpu_us = flops / (args.peak_vpu_tflops * 1e6)
+                rec["vpu_roofline_us"] = round(vpu_us, 3)
+                rec["roofline_us"] = round(max(mem_us, vpu_us), 3)
+                rec["sol_pct"] = round(
+                    100.0 * max(mem_us, vpu_us) / (sec * 1e6), 1)
+                rec["bound"] = "hbm" if mem_us >= vpu_us else "vpu"
             except Exception as e:  # noqa: BLE001 — roofline is best-effort
                 rec["roofline_error"] = str(e)[:120]
             print(json.dumps(rec), flush=True)

@@ -40,6 +40,10 @@ class RobotModel:
     Imat: jax.Array           # (n, 6, 6) spatial inertias in link frames
     damping: jax.Array        # (n,)
     joint_limits: jax.Array   # (n, 2) lower/upper (±inf where unset)
+    effort_limit: jax.Array   # (num_vel,) max |tau| (+inf where unset) —
+                              # ≙ the reference baking joint limits into the
+                              # device blob (_topology_helpers.py:732-778)
+    velocity_limit: jax.Array  # (num_vel,) max |qd| (+inf where unset)
     Ttree: jax.Array          # (n, 4, 4) fixed homogeneous transforms (FK)
     Tfixed: jax.Array         # (n_fixed, 4, 4) fixed-joint target frames
     subtree_mask: jax.Array   # (n, nv) 0/1 over velocity columns (Minv sparsity)
@@ -110,6 +114,8 @@ def build_model(topo: RobotTopology, dtype=jnp.float32) -> RobotModel:
         Imat=jnp.asarray(Imat, dtype),
         damping=jnp.asarray(damping, dtype),
         joint_limits=jnp.asarray(limits, dtype),
+        effort_limit=jnp.asarray(topo.get_effort_limits(), dtype),
+        velocity_limit=jnp.asarray(topo.get_velocity_limits(), dtype),
         Ttree=jnp.asarray(Ttree, dtype),
         Tfixed=jnp.asarray(Tfixed, dtype),
         subtree_mask=jnp.asarray(sub_mask, dtype),

@@ -143,6 +143,35 @@ def _model_consts(model: RobotModel):
     return (model.Xtree, model.Imat, model.damping, model.subtree_mask)
 
 
+def _make_clamp(u_min, u_max, dtype):
+    """(extra_consts, clamp_fn) for control box bounds.
+
+    Scalar bounds bake into the program; ARRAY bounds (per-dof effort
+    limits, shape (n, 1)) must ride as kernel inputs — Pallas rejects
+    captured array constants. ``clamp_fn(u, extra_cvals)`` applies whatever
+    combination is present; ``clamp_fn`` is None when unbounded."""
+    import numpy as np
+
+    if u_min is None and u_max is None:
+        return (), None
+    is_arr = lambda b: b is not None and not np.isscalar(b)
+    extra = []
+    lo_i = hi_i = None
+    if is_arr(u_min):
+        lo_i = len(extra)
+        extra.append(jnp.asarray(u_min, dtype))
+    if is_arr(u_max):
+        hi_i = len(extra)
+        extra.append(jnp.asarray(u_max, dtype))
+
+    def clamp(u, cv):
+        lo = cv[lo_i] if lo_i is not None else u_min
+        hi = cv[hi_i] if hi_i is not None else u_max
+        return jnp.clip(u, lo, hi)
+
+    return tuple(extra), clamp
+
+
 def _rebind(model: RobotModel, cvals):
     Xtree, Imat, damping, subtree_mask = cvals
     return dataclasses.replace(model, Xtree=Xtree, Imat=Imat,
@@ -160,17 +189,18 @@ def rollout_pallas(model: RobotModel, N: int, dt: float, gravity: float,
     _check(model)
     n = model.num_vel
     nx = 2 * n
-    clamp = u_min is not None or u_max is not None
+    bconsts, clampf = _make_clamp(u_min, u_max, model.Imat.dtype)
 
     def body(cvals, in_refs, out_refs):
-        m = _rebind(model, cvals)
+        m = _rebind(model, cvals[:4])
+        bcv = cvals[4:]
         x0_ref, U_ref = in_refs
         (X_ref,) = out_refs
 
         def step(t, x):
             u = _ld(U_ref, t)
-            if clamp:
-                u = jnp.clip(u, u_min, u_max)
+            if clampf is not None:
+                u = clampf(u, bcv)
             xn = _euler_step(m, x, u, dt, gravity)
             _st(X_ref, t, xn)
             return xn
@@ -178,8 +208,8 @@ def rollout_pallas(model: RobotModel, N: int, dt: float, gravity: float,
         jax.lax.fori_loop(0, N, step, x0_ref[...])
 
     return _sweep_call(body, [(nx,), (N, n)], [(N, nx)],
-                       _model_consts(model), model.Imat.dtype, block_b,
-                       interpret)
+                       _model_consts(model) + bconsts, model.Imat.dtype,
+                       block_b, interpret)
 
 
 def feedback_rollout_pallas(model: RobotModel, N: int, dt: float,
@@ -200,18 +230,19 @@ def feedback_rollout_pallas(model: RobotModel, N: int, dt: float,
     _check(model)
     n = model.num_vel
     nx = 2 * n
-    clamp = u_min is not None or u_max is not None
+    bconsts, clampf = _make_clamp(u_min, u_max, model.Imat.dtype)
 
     def body(cvals, in_refs, out_refs):
-        m = _rebind(model, cvals)
+        m = _rebind(model, cvals[:4])
+        bcv = cvals[4:]
         x0_ref, Uref_ref, Xref_ref, kff_ref, K_ref = in_refs
         X_ref, U_ref = out_refs
 
         def step(t, x):
             du = _ld(kff_ref, t) + bmv(_ld(K_ref, t), x - _ld(Xref_ref, t))
             u = _ld(Uref_ref, t) + du
-            if clamp:
-                u = jnp.clip(u, u_min, u_max)
+            if clampf is not None:
+                u = clampf(u, bcv)
             xn = _euler_step(m, x, u, dt, gravity)
             _st(X_ref, t, xn)
             _st(U_ref, t, u)
@@ -223,7 +254,8 @@ def feedback_rollout_pallas(model: RobotModel, N: int, dt: float,
         body,
         [(nx,), (N, n), (N, nx), (N, n), (N, n, nx)],
         [(N, nx), (N, n)],
-        _model_consts(model), model.Imat.dtype, block_b, interpret)
+        _model_consts(model) + bconsts, model.Imat.dtype, block_b,
+        interpret)
 
 
 def linesearch_rollout_pallas(model: RobotModel, N: int, dt: float,
@@ -248,10 +280,10 @@ def linesearch_rollout_pallas(model: RobotModel, N: int, dt: float,
     n = model.num_vel
     nx = 2 * n
     na = len(alphas)
-    clamp = u_min is not None or u_max is not None
+    bconsts, clampf = _make_clamp(u_min, u_max, model.Imat.dtype)
     alphas_arr = jnp.asarray(alphas, model.Imat.dtype)
 
-    model_consts = _model_consts(model)
+    model_consts = _model_consts(model) + bconsts
     in_shapes = [(nx,), (N, n), (N, nx), (N, n), (N, n, nx)]
     out_shapes = [(N, nx), (N, n)]
 
@@ -287,14 +319,15 @@ def linesearch_rollout_pallas(model: RobotModel, N: int, dt: float,
         x0_ref, Uref_ref, Xref_ref, k_ref, K_ref = refs[
             len(model_consts) + 1:len(model_consts) + 6]
         X_ref, U_ref = refs[len(model_consts) + 6:]
-        m = _rebind(model, cvals)
+        m = _rebind(model, cvals[:4])
+        bcv = cvals[4:]
 
         def step(t, x):
             du = (alpha * _ld(k_ref, t)
                   + bmv(_ld(K_ref, t), x - _ld(Xref_ref, t)))
             u = _ld(Uref_ref, t) + du
-            if clamp:
-                u = jnp.clip(u, u_min, u_max)
+            if clampf is not None:
+                u = clampf(u, bcv)
             xn = _euler_step(m, x, u, dt, gravity)
             _st(X_ref, t, xn)
             _st(U_ref, t, u)

@@ -45,26 +45,46 @@ class ScenarioMPCConfig:
 
 
 def make_scenario_step(model: RobotModel, cost: CostModel,
-                       cfg: ScenarioMPCConfig, mesh: Mesh):
+                       cfg: ScenarioMPCConfig, mesh: Mesh,
+                       knot_axis: str = "kp"):
     """Build the jitted scenario-tree MPC step.
 
     step(x0s (2n, S), U_warm (N, n, S)) ->
         (u0_consensus (n,), U_next (N, n, S), costs (S,))
 
     ``x0s`` holds the perturbed scenario states (the scenario axis is the
-    trailing lane axis, sharded over the mesh's "dp" axis).
+    trailing lane axis). Sharding layout over the mesh:
+
+    * scenarios shard over every axis EXCEPT ``knot_axis`` ("dp" — DCN on
+      a real multi-host slice);
+    * when the mesh has a ``knot_axis`` ("kp", ICI) whose size divides the
+      horizon, the per-shard iLQR solve runs its linearization and Riccati
+      backward pass KNOT-SHARDED over it (``ILQRConfig.knot_axis`` ->
+      ``parallel/knot_riccati.local_knot_gains``): each kp device
+      linearizes N/D knots, the value recursion reduces over ICI in
+      ceil(log2 D) ppermute rounds, and the small gains are all-gathered
+      for the (kp-replicated) rollout — BASELINE config 5's "Riccati
+      reduce over ICI" in the actual solve path;
+    * the scenario-tree consensus (all scenarios share the first move) is
+      a softmin-by-cost weighted psum of first controls over all axes
+      (the kp-replicated copies scale numerator and denominator equally).
     """
-    solver = make_ilqr(model, cost, cfg.ilqr)
-    n = model.num_vel
-    # scenarios shard over EVERY mesh axis jointly: on a 1-axis ("dp",) mesh
-    # this is plain data parallelism; on a hybrid ("dp", "kp") multi-host
-    # mesh (make_hybrid_mesh) the solve stays embarrassingly parallel and
-    # the only cross-axis traffic is the consensus psum below — an
-    # (n,)-vector, so the DCN hop on the host-spanning "dp" axis is
-    # bandwidth-trivial and XLA reduces hierarchically (ICI first).
     axes = tuple(mesh.axis_names)
+    kp = mesh.shape.get(knot_axis, 1) if knot_axis in axes else 1
+    icfg = cfg.ilqr
+    use_kp = (kp > 1 and icfg.N % kp == 0
+              and not icfg.use_second_order and not icfg.parallel_riccati
+              and getattr(cost, "time_invariant", False))
+    if use_kp:
+        icfg = dataclasses.replace(icfg, knot_axis=knot_axis,
+                                   knot_axis_size=kp)
+        sc_axes = tuple(a for a in axes if a != knot_axis)
+    else:
+        sc_axes = axes
+    solver = make_ilqr(model, cost, icfg)
+    n = model.num_vel
     ntot = 1
-    for a in axes:
+    for a in sc_axes:
         ntot *= mesh.shape[a]
     assert cfg.n_scenarios % ntot == 0, (cfg.n_scenarios, ntot)
 
@@ -82,12 +102,12 @@ def make_scenario_step(model: RobotModel, cost: CostModel,
         U_next = jnp.concatenate([res.U[1:], res.U[-1:]], axis=0)
         return u0, U_next, c_local
 
-    spec_x = P(None, axes)
-    spec_U = P(None, None, axes)
+    spec_x = P(None, sc_axes)
+    spec_U = P(None, None, sc_axes)
     step = shard_map(
         shard_step, mesh=mesh,
         in_specs=(spec_x, spec_U),
-        out_specs=(P(), spec_U, P(axes)),
+        out_specs=(P(), spec_U, P(sc_axes)),
         # the per-shard solver dispatches fused Pallas kernels whose
         # ShapeDtypeStruct outputs carry no varying-mesh-axes annotation;
         # collectives here are explicit (psum/pmin), so skip the vma checker

@@ -113,6 +113,8 @@ class Joint:
     damping: float = 0.0
     limit_lower: float = -np.inf
     limit_upper: float = np.inf
+    effort_limit: float = np.inf      # max |tau| (URDF <limit effort>)
+    velocity_limit: float = np.inf    # max |qd|  (URDF <limit velocity>)
     parent_link: str = ""
     child_link: str = ""
 
@@ -433,6 +435,21 @@ class RobotTopology:
         """(n, 2) array of [lower, upper] per joint (±inf where unset)."""
         return np.array(
             [[j.limit_lower, j.limit_upper] for j in self.joints], dtype=np.float64)
+
+    def get_effort_limits(self) -> np.ndarray:
+        """(num_vel,) max |tau| per velocity dof (URDF <limit effort>;
+        +inf where unset — the floating joint's 6 dofs are unbounded)."""
+        out = []
+        for j in self.joints:
+            out.extend([j.effort_limit] * j.num_vel())
+        return np.array(out, dtype=np.float64)
+
+    def get_velocity_limits(self) -> np.ndarray:
+        """(num_vel,) max |qd| per velocity dof (URDF <limit velocity>)."""
+        out = []
+        for j in self.joints:
+            out.extend([j.velocity_limit] * j.num_vel())
+        return np.array(out, dtype=np.float64)
 
     # fixed joints -------------------------------------------------------
     def get_fixed_joint_by_name(self, name: str) -> Optional[FixedJoint]:

@@ -200,6 +200,12 @@ def parse_urdf(
                 lim = j.find("limit")
                 lo = float(lim.get("lower", -np.inf)) if lim is not None else -np.inf
                 hi = float(lim.get("upper", np.inf)) if lim is not None else np.inf
+                eff = float(lim.get("effort", np.inf)) if lim is not None else np.inf
+                vel = float(lim.get("velocity", np.inf)) if lim is not None else np.inf
+                if eff <= 0:   # URDF uses effort="0" for "unenforced"
+                    eff = np.inf
+                if vel <= 0:
+                    vel = np.inf
                 if jtype == "continuous":
                     lo, hi = -np.inf, np.inf
                 jid = len(movable)
@@ -207,6 +213,7 @@ def parse_urdf(
                     name=jname, jid=jid, parent_id=parent_jid, jtype=kind,
                     S_ind=S_ind, Xtree=Xtree, Ttree=Ttree, damping=damping,
                     limit_lower=lo, limit_upper=hi,
+                    effort_limit=eff, velocity_limit=vel,
                     parent_link=link_name, child_link=cl))
                 m, c, I = _parse_inertial(links[cl])
                 # Axis normalization rotated the joint (= child link) frame by
@@ -255,6 +262,7 @@ def make_floating_base(topo: RobotTopology) -> RobotTopology:
             jtype=j.jtype, S_ind=j.S_ind, Xtree=j.Xtree.copy(),
             Ttree=j.Ttree.copy(), damping=j.damping,
             limit_lower=j.limit_lower, limit_upper=j.limit_upper,
+            effort_limit=j.effort_limit, velocity_limit=j.velocity_limit,
             parent_link=j.parent_link, child_link=j.child_link))
     Imats = [topo.get_Imats_ordered_by_id()[0]] + [
         topo.get_Imat_by_id(i) for i in range(n)]

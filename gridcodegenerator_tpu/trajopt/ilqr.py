@@ -50,8 +50,14 @@ class ILQRConfig:
     alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
     use_second_order: bool = False
     gravity: float = DEFAULT_GRAVITY
-    u_min: float = None           # control box bounds (projected rollouts)
-    u_max: float = None
+    u_min: object = None          # control box bounds (projected rollouts):
+    u_max: object = None          # scalar, per-dof (n,) array, or None.
+                                  # When BOTH are None, make_ilqr derives
+                                  # them from the robot's URDF effort limits
+                                  # (±effort per joint; no clamping if the
+                                  # model has none) — the reference bakes
+                                  # joint limits into the device blob the
+                                  # same way (_topology_helpers.py:732-778)
     use_pallas: bool = None       # fused kernels in the hot loops (None =
                                   # auto: TPU backend + fixed-base robot)
     pallas_block: int = 256       # fused-kernel batch tile
@@ -62,11 +68,48 @@ class ILQRConfig:
                                   # single Pallas kernels (horizon loop
                                   # inside the kernel — kills the per-knot
                                   # dispatch overhead of scan-of-kernels)
+    knot_axis: str = None         # mesh axis name for the knot-sharded
+                                  # backward pass: the solver must then run
+                                  # INSIDE a shard_map providing this axis
+                                  # (parallel/scenario.py drives it); each
+                                  # device linearizes + Riccati-sweeps only
+                                  # its N/D knot chunk, the value recursion
+                                  # reduces over ICI in ceil(log2 D)
+                                  # ppermute rounds (parallel/knot_riccati),
+                                  # and the small (N, n, ...) gains are
+                                  # all-gathered for the replicated rollout
+    knot_axis_size: int = 1       # size D of that axis (static)
 
     def clamp(self, u):
         if self.u_min is None and self.u_max is None:
             return u
-        return jnp.clip(u, self.u_min, self.u_max)
+        return jnp.clip(u, *_lane_bounds(self.u_min, self.u_max))
+
+
+def _lane_bounds(u_min, u_max):
+    """Normalize scalar / (n,) / (n,1) bounds to broadcast against (n, B)."""
+    import numpy as _np
+
+    def norm(b):
+        if b is None or _np.isscalar(b):
+            return b
+        b = _np.asarray(b, _np.float32)
+        return b.reshape(-1, 1) if b.ndim == 1 else b
+
+    return norm(u_min), norm(u_max)
+
+
+def resolve_control_bounds(model: RobotModel, cfg: "ILQRConfig"):
+    """Effective (u_min, u_max): the config's if set, else the robot's
+    effort limits (±tau_max per dof); (None, None) when unbounded."""
+    import numpy as _np
+    if cfg.u_min is not None or cfg.u_max is not None:
+        return _lane_bounds(cfg.u_min, cfg.u_max)
+    eff = _np.asarray(model.effort_limit, _np.float64)
+    if not _np.isfinite(eff).any():
+        return None, None
+    eff32 = eff.astype(_np.float32).reshape(-1, 1)
+    return -eff32, eff32
 
 
 class ILQRResult(NamedTuple):
@@ -93,7 +136,24 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
     The returned callable is pure and jittable (callers should wrap in
     ``jax.jit``); everything inside specializes on the static config/model.
     """
+    if model.floating_base:
+        # the state chart here is x = [q; qd] with len(q) == num_vel, which
+        # is wrong for a quaternion base (num_pos = num_vel + 1); supporting
+        # it needs manifold integration (local SO(3) tangent steps + chart
+        # retraction in rollout/linearize). Fail loudly instead of slicing
+        # garbage. The dynamics/gradient kernels themselves are floating-
+        # capable (XLA tier) — only the trajopt state chart is fixed-base.
+        raise NotImplementedError(
+            "make_ilqr requires a fixed-base model: the solver's state is "
+            "[q; qd] with num_pos == num_vel. Floating-base trajopt needs "
+            "quaternion-manifold integration (planned; see README roadmap).")
     n = model.num_vel
+    u_lo, u_hi = resolve_control_bounds(model, cfg)
+
+    def clamp(u):
+        if u_lo is None and u_hi is None:
+            return u
+        return jnp.clip(u, u_lo, u_hi)
     nx = 2 * n
     N, dt = cfg.N, cfg.dt
     na = len(cfg.alphas)
@@ -122,12 +182,13 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
         if cfg.fused_sweeps:
             roll_blk = _ps.rollout_block_b(model)
             fused_roll = _ps.rollout_pallas(
-                model, N, dt, cfg.gravity, cfg.u_min, cfg.u_max,
+                model, N, dt, cfg.gravity, u_lo, u_hi,
                 block_b=roll_blk)
             fused_fb = _ps.linesearch_rollout_pallas(
-                model, N, dt, cfg.gravity, cfg.alphas, cfg.u_min, cfg.u_max,
+                model, N, dt, cfg.gravity, cfg.alphas, u_lo, u_hi,
                 block_b=roll_blk)
             if (not cfg.use_second_order and not cfg.parallel_riccati
+                    and cfg.knot_axis is None
                     and _ps.riccati_fits(n, N, stationary_cost)):
                 ric_blk = _ps.RICCATI_BLOCK_B
                 fused_ric = _ps.riccati_pallas(
@@ -149,7 +210,7 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
             Xs = fused_roll(x0, U)
         else:
             def body(x, u):
-                xn = step(x, cfg.clamp(u))
+                xn = step(x, clamp(u))
                 return xn, xn
             _, Xs = jax.lax.scan(body, x0, U)
         return jnp.concatenate([x0[None], Xs], axis=0)  # (N+1, 2n, B)
@@ -177,25 +238,27 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
         return c
 
     # ------------------------------------------------------------------
-    def linearize(X, U):
-        """One fused fd_du call over N*B lanes -> discrete A, B blocks.
+    def linearize(Xs, U):
+        """One fused fd_du call over Nk*B lanes -> discrete A, B blocks.
 
-        Lane layout is KNOT-MAJOR (lane = t*B + b): knot t's problems form
-        one contiguous B-block, matching the ``reshape(.., N, B)`` unfolds
+        ``Xs``/``U`` are (Nk, 2n, B)/(Nk, n, B) knot stacks (the full
+        horizon, or one device's local chunk in knot-sharded mode). Lane
+        layout is KNOT-MAJOR (lane = t*B + b): knot t's problems form one
+        contiguous B-block, matching the ``reshape(.., Nk, B)`` unfolds
         below and the per-knot ``dynamic_slice`` of the second-order
         tensors in ``backward``.
         """
-        B = X.shape[-1]
-        q = jnp.swapaxes(X[:N, :n], 0, 1).reshape(n, N * B)
-        qd = jnp.swapaxes(X[:N, n:], 0, 1).reshape(n, N * B)
-        u = jnp.swapaxes(U, 0, 1).reshape(n, N * B)
-        if fused_fd_du is not None and (N * B) % blk == 0:
+        Nk, B = Xs.shape[0], Xs.shape[-1]
+        q = jnp.swapaxes(Xs[:, :n], 0, 1).reshape(n, Nk * B)
+        qd = jnp.swapaxes(Xs[:, n:], 0, 1).reshape(n, Nk * B)
+        u = jnp.swapaxes(U, 0, 1).reshape(n, Nk * B)
+        if fused_fd_du is not None and (Nk * B) % blk == 0:
             df_du, _, Mi = fused_fd_du(q, qd, u)
         else:
             df_du, _, Mi = _fd_grad.fd_grad(model, q, qd, u, cfg.gravity,
                                             return_extras=True)
         dfdq, dfdqd = df_du[:, :n], df_du[:, n:]
-        I_n = jnp.eye(n, dtype=X.dtype)[:, :, None]
+        I_n = jnp.eye(n, dtype=Xs.dtype)[:, :, None]
         A21 = dt * dfdq                         # dqd'/dq
         A22 = I_n + dt * dfdqd                  # dqd'/dqd
         A11 = I_n + dt * A21                    # dq'/dq
@@ -204,11 +267,63 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
         Bq = dt * Bqd                           # dq'/du
         Amat = jnp.concatenate([
             jnp.concatenate([A11, A12], axis=1),
-            jnp.concatenate([A21, A22], axis=1)], axis=0)    # (2n, 2n, N*B)
-        Bmat = jnp.concatenate([Bq, Bqd], axis=0)            # (2n, n, N*B)
-        Amat = jnp.moveaxis(Amat.reshape(nx, nx, N, B), 2, 0)
-        Bmat = jnp.moveaxis(Bmat.reshape(nx, n, N, B), 2, 0)
+            jnp.concatenate([A21, A22], axis=1)], axis=0)    # (2n, 2n, Nk*B)
+        Bmat = jnp.concatenate([Bq, Bqd], axis=0)            # (2n, n, Nk*B)
+        Amat = jnp.moveaxis(Amat.reshape(nx, nx, Nk, B), 2, 0)
+        Bmat = jnp.moveaxis(Bmat.reshape(nx, n, Nk, B), 2, 0)
         return Amat, Bmat, (q, qd, u)
+
+    # ------------------------------------------------------------------
+    # knot-sharded backward (cfg.knot_axis): linearization AND Riccati are
+    # split over a mesh axis the caller's shard_map provides — each device
+    # handles N/D knots, the value recursion reduces over ICI (ppermute),
+    # and the gains are all-gathered for the (replicated) forward rollout.
+    # BASELINE config 5's "Riccati reduce over ICI", in the solve path.
+    knot_sharded = cfg.knot_axis is not None and cfg.knot_axis_size > 1
+    if knot_sharded:
+        if cfg.use_second_order or cfg.parallel_riccati:
+            raise NotImplementedError(
+                "knot-sharded backward is first-order and replaces "
+                "parallel_riccati")
+        if N % cfg.knot_axis_size != 0:
+            raise ValueError((N, cfg.knot_axis_size))
+        if not getattr(cost, "time_invariant", False):
+            raise NotImplementedError(
+                "knot-sharded backward needs a time-invariant cost "
+                "(local chunks evaluate stage_expansion at t=0)")
+
+    def backward_knot_sharded(X, U):
+        D = cfg.knot_axis_size
+        N_loc = N // D
+        B = X.shape[-1]
+        d = jax.lax.axis_index(cfg.knot_axis)
+        t0 = d * N_loc
+        X_loc = jax.lax.dynamic_slice_in_dim(X, t0, N_loc, 0)
+        U_loc = jax.lax.dynamic_slice_in_dim(U, t0, N_loc, 0)
+        Amat, Bmat, _ = linearize(X_loc, U_loc)
+        dtype = X.dtype
+        _, Vx0, Vxx0 = cost.terminal_expansion(X[N])
+        Vx0 = Vx0.astype(dtype)
+        Vxx0 = (Vxx0 + 0.0 * Vx0[0]).astype(dtype)
+        _, lxf, luf, lxxf, luuf, luxf = jax.tree.map(
+            lambda z: z.astype(dtype),
+            cost.stage_expansion(_fold(X_loc), _fold(U_loc), 0))
+
+        def unf(z):
+            return jnp.moveaxis(
+                z.reshape(z.shape[:-1] + (N_loc, B)), -2, 0)
+
+        lx, lu = unf(lxf), unf(luf)
+        lxx = unf(jnp.broadcast_to(lxxf, (nx, nx, N_loc * B)))
+        luu = unf(jnp.broadcast_to(luuf, (n, n, N_loc * B)))
+        lux = unf(jnp.broadcast_to(luxf, (n, nx, N_loc * B)))
+        from ..parallel.knot_riccati import local_knot_gains
+        ks_loc, Ks_loc = local_knot_gains(
+            cfg.knot_axis, D, cfg.reg,
+            Amat, Bmat, lx, lu, lxx, luu, lux, Vx0, Vxx0)
+        ks = jax.lax.all_gather(ks_loc, cfg.knot_axis, axis=0, tiled=True)
+        Ks = jax.lax.all_gather(Ks_loc, cfg.knot_axis, axis=0, tiled=True)
+        return ks, Ks
 
     # ------------------------------------------------------------------
     def backward(X, U, Amat, Bmat, so_t):
@@ -355,7 +470,7 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
             def body(x, inp):
                 x_ref, u_ref, k_t, K_t = inp
                 du = alpha_w * widen(k_t) + bmv(widen(K_t), x - widen(x_ref))
-                u = cfg.clamp(widen(u_ref) + du).astype(x.dtype)
+                u = clamp(widen(u_ref) + du).astype(x.dtype)
                 xn = step(x, u)
                 return xn, (xn, u)
 
@@ -381,7 +496,15 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
 
         def iteration(carry, _):
             X, U, c = carry
-            Amat, Bmat, (qf, qdf, uf) = linearize(X, U)
+            if knot_sharded:
+                ks, Ks = backward_knot_sharded(X, U)
+                Xn, Un, cn = forward(X, U, ks, Ks)
+                acc = cn < c
+                Xn = jnp.where(acc[None, None, :], Xn, X)
+                Un = jnp.where(acc[None, None, :], Un, U)
+                cn = jnp.where(acc, cn, c)
+                return (Xn, Un, cn), (cn, ks, Ks)
+            Amat, Bmat, (qf, qdf, uf) = linearize(X[:N], U)
             so_t = None
             if cfg.use_second_order:
                 if fused_so is not None and qf.shape[-1] % so_blk == 0:

@@ -1,12 +1,16 @@
 """SQP trajectory optimizer with exact second-order dynamics Hessians.
 
 BASELINE.md config 4: "SQP MPC with exact second-order IDSVA-SO/FDSVA-SO
-Hessians". Formulation: multiple-shooting SQP whose block-tridiagonal KKT
-system is solved by the Riccati recursion — exactly the DDP backward sweep
-with the second-order dynamics terms retained (the two are algebraically
-equivalent for the unconstrained subproblem; see e.g. Rawlings/Mayne/Diehl
-ch. 8). Control box constraints from the robot's effort limits are handled
-by projected (clamped) rollouts inside the line search.
+Hessians". Formulation: SINGLE-shooting SQP — each iteration solves the
+quadratic subproblem by the Riccati recursion with the second-order
+dynamics terms retained, which for the unconstrained subproblem is
+algebraically the exact-Hessian DDP backward sweep (the two coincide when
+the rollout is feasible by construction, as it is here; a true
+multiple-shooting variant with defect constraints is not implemented).
+Control box constraints are handled by projected (clamped) rollouts inside
+the line search; the bounds default to the robot's URDF effort limits
+(``ilqr.resolve_control_bounds``) and may be overridden per-dof via
+``SQPConfig.u_min/u_max``.
 
 The second-order tensors come from the FDSVA-SO suite (``ops/so.py``), i.e.
 the exact Hessians the config asks for, not a Gauss-Newton approximation.

@@ -69,3 +69,78 @@ def test_knot_sharded_gains_single_device_mesh():
     ks_s, Ks_s = jax.jit(sharded_lqr_gains(mesh, "kp", reg=0.0))(*args)
     ks_r, Ks_r = _reference_gains(*args)
     np.testing.assert_allclose(np.asarray(ks_s), np.asarray(ks_r), atol=1e-9)
+
+
+def test_knot_sharded_solver_matches_plain():
+    """make_ilqr(knot_axis=...) under a kp shard_map == the plain sequential
+    solver (f64; the ICI-reduced backward pass in the actual solve path —
+    VERDICT r2 #3). kp in {2, 4}."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from gridcodegenerator_tpu.models.model import build_model
+    from gridcodegenerator_tpu.models.zoo import load_robot
+    from gridcodegenerator_tpu.trajopt.cost import QuadCost
+    from gridcodegenerator_tpu.trajopt.ilqr import ILQRConfig, make_ilqr
+
+    model = build_model(load_robot("pendulum2"), dtype=jnp.float64)
+    n = model.n
+    N, B = 8, 4
+    xg = jnp.zeros(2 * n).at[0].set(0.7)
+    cost = QuadCost(Q=jnp.full(2 * n, 0.1), R=jnp.full(n, 1e-3),
+                    Qf=jnp.full(2 * n, 10.0), x_goal=xg)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.uniform(-0.3, 0.3, (2 * n, B)))
+    U0 = jnp.asarray(rng.uniform(-0.1, 0.1, (N, n, B)))
+    base = jax.jit(make_ilqr(model, cost, ILQRConfig(N=N, iters=3)))(x0, U0)
+
+    for kp in (2, 4):
+        mesh = Mesh(np.asarray(jax.devices()[:kp]), ("kp",))
+        solver = make_ilqr(model, cost, ILQRConfig(
+            N=N, iters=3, knot_axis="kp", knot_axis_size=kp))
+        sharded = jax.jit(jax.shard_map(
+            solver, mesh=mesh, in_specs=(P(), P()),
+            out_specs=jax.tree.map(lambda _: P(), base), check_vma=False))
+        res = sharded(x0, U0)
+        np.testing.assert_allclose(np.asarray(res.cost),
+                                   np.asarray(base.cost), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(res.U), np.asarray(base.U),
+                                   atol=1e-8)
+
+
+def test_scenario_step_kp_axis_parity():
+    """Hybrid (dp, kp) scenario step == pure-dp scenario step (f32, loose:
+    the kp path swaps the sequential Riccati for the associative reduce)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gridcodegenerator_tpu.models.model import build_model
+    from gridcodegenerator_tpu.models.zoo import load_robot
+    from gridcodegenerator_tpu.parallel.mesh import make_hybrid_mesh, make_mesh
+    from gridcodegenerator_tpu.parallel.scenario import (
+        ScenarioMPCConfig, make_scenario_step, perturb_scenarios)
+    from gridcodegenerator_tpu.trajopt.cost import QuadCost
+    from gridcodegenerator_tpu.trajopt.ilqr import ILQRConfig
+
+    model = build_model(load_robot("iiwa"), dtype=jnp.float32)
+    n = model.n
+    N, S = 8, 16
+    icfg = ILQRConfig(N=N, dt=0.02, iters=2, use_pallas=False)
+    xg = jnp.zeros(2 * n).at[0].set(0.5)
+    cost = QuadCost(Q=jnp.full(2 * n, 0.1), R=jnp.full(n, 1e-3),
+                    Qf=jnp.full(2 * n, 10.0), x_goal=xg)
+    cfg = ScenarioMPCConfig(ilqr=icfg, n_scenarios=S)
+    x0s = perturb_scenarios(jax.random.PRNGKey(0), jnp.zeros(2 * n), S, 0.01)
+    U = jnp.zeros((N, n, S), jnp.float32)
+
+    u0a, Ua, ca = jax.block_until_ready(
+        make_scenario_step(model, cost, cfg, make_mesh(8))(x0s, U))
+    mesh = make_hybrid_mesh(("dp", "kp"), kp_size=4, n_devices=8)
+    u0b, Ub, cb = jax.block_until_ready(
+        make_scenario_step(model, cost, cfg, mesh)(x0s, U))
+    np.testing.assert_allclose(np.asarray(u0a), np.asarray(u0b), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ca), np.asarray(cb), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(Ua), np.asarray(Ub), atol=2e-3)
