@@ -111,6 +111,40 @@ def config3(jnp, jax):
 
     dt = time_kernel(lambda a_, b_: solve(a_, b_).cost, (x0, U0), iters=10)
 
+    # --- per-phase decomposition (VERDICT r2 #7): time each solver phase
+    # in isolation on representative iteration state, so the fraction of
+    # the solve at kernel roofline is measured, not guessed -------------
+    import jax as _jax
+    _, parts = make_ilqr(model, cost, cfg, expose_parts=True)
+    X = _jax.jit(parts["rollout"])(x0, U0)
+    Amat, Bmat, _ = _jax.jit(lambda X_, U_: parts["linearize"](X_[:N], U_)
+                             )(X, U0)
+    ks, Ks = _jax.jit(lambda X_, U_, A_, B_: parts["backward"](
+        X_, U_, A_, B_, None))(X, U0, Amat, Bmat)
+    ph = {}
+    ph["rollout_us"] = time_kernel(parts["rollout"], (x0, U0), iters=20)
+    ph["linearize_us"] = time_kernel(
+        lambda X_, U_: parts["linearize"](X_[:N], U_)[0], (X, U0), iters=20)
+    ph["backward_us"] = time_kernel(
+        lambda X_, U_, A_, B_: parts["backward"](X_, U_, A_, B_, None)[0],
+        (X, U0, Amat, Bmat), iters=20)
+    ph["forward_linesearch_us"] = time_kernel(
+        lambda X_, U_, k_, K_: parts["forward"](X_, U_, k_, K_)[2],
+        (X, U0, ks, Ks), iters=20)
+    ph = {k: round(v * 1e6, 1) for k, v in ph.items()}
+    per_iter = (ph["linearize_us"] + ph["backward_us"]
+                + ph["forward_linesearch_us"])
+    accounted = ph["rollout_us"] + ITERS * per_iter
+    ph["accounted_us_per_solve_batch"] = round(accounted, 1)
+    ph["measured_us_per_solve_batch"] = round(dt * 1e6, 1)
+    ph["phase_fractions"] = {
+        "linearize": round(ITERS * ph["linearize_us"] / accounted, 3),
+        "backward": round(ITERS * ph["backward_us"] / accounted, 3),
+        "forward_linesearch": round(
+            ITERS * ph["forward_linesearch_us"] / accounted, 3),
+        "initial_rollout": round(ph["rollout_us"] / accounted, 3),
+    }
+
     # secondary: the joint-space tracking task (round-1's headline shape)
     from gridcodegenerator_tpu.trajopt.cost import QuadCost
     xg = jnp.zeros(2 * n).at[0].set(1.0).at[1].set(0.5)
@@ -121,7 +155,8 @@ def config3(jnp, jax):
     return {"config": 3, "metric": "mpc_solves_per_s_per_chip_iiwa_N64",
             "task": "ee_reach", "batch": B, "knots": N, "iters": ITERS,
             "solves_per_s": round(B / dt, 1),
-            "quad_task_solves_per_s": round(B / dtq, 1)}
+            "quad_task_solves_per_s": round(B / dtq, 1),
+            "phases": ph}
 
 
 def config4(jnp, jax):

@@ -1,0 +1,89 @@
+"""Second-order kernel bench: fused-Pallas vs XLA routes at every scale.
+
+VERDICT r2 #4 asked for actual timings of the 28-DoF fused SO kernels (the
+round-2 artifact carried null rows for atlas) and a data-backed decision on
+``idsva_so_dense`` dispatch. This measures, per robot:
+
+* ``idsva_so`` fused Pallas kernel (``ops/pallas/kernels.idsva_so_pallas``)
+  wherever it compiles (nv <= SO_MAX_NV);
+* ``idsva_so_analytical`` XLA route (unrolled stages);
+* ``idsva_so_dense`` XLA route (stacked dense masked contractions);
+* same three for FDSVA-SO where applicable;
+plus a numeric parity check across routes.
+
+Run: python benchmarks/so_bench.py [--robots iiwa,hyq,atlas] [--batch 128]
+Emits one JSON line per (robot, route) and a recommendation line per robot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--robots", default="iiwa,hyq,atlas")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=50)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gridcodegenerator_tpu.models.model import build_model
+    from gridcodegenerator_tpu.models.zoo import load_robot
+    from gridcodegenerator_tpu.ops import so as _so
+    from gridcodegenerator_tpu.ops.pallas import kernels as _pk
+    from gridcodegenerator_tpu.utils.timing import time_kernel
+
+    B = args.batch
+    rng = np.random.default_rng(0)
+    print(json.dumps({"backend": jax.default_backend(), "batch": B}),
+          flush=True)
+
+    for name in args.robots.split(","):
+        model = build_model(load_robot(name), dtype=jnp.float32)
+        n = model.n
+        q, qd, qdd = (jnp.asarray(rng.uniform(-1, 1, (n, B)), jnp.float32)
+                      for _ in range(3))
+        routes = {
+            "xla_unrolled": lambda a, b, c: _so.idsva_so_analytical(
+                model, a, b, c),
+            "xla_dense": lambda a, b, c: _so.idsva_so_dense(model, a, b, c),
+        }
+        if _pk.so_fits(model) and jax.default_backend() != "cpu":
+            fused = _pk.idsva_so_pallas(model, -9.81, block_b=min(128, B))
+            routes["pallas_fused"] = fused
+
+        outs, times = {}, {}
+        for rname, fn in routes.items():
+            try:
+                sec = time_kernel(fn, (q, qd, qdd), iters=args.iters)
+                outs[rname] = np.asarray(fn(q, qd, qdd))
+                times[rname] = sec
+                print(json.dumps({
+                    "robot": name, "algo": "idsva_so", "route": rname,
+                    "us_per_call": round(sec * 1e6, 2),
+                    "us_per_sample": round(sec * 1e6 / B, 4)}), flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"robot": name, "algo": "idsva_so",
+                                  "route": rname, "error": str(e)[:160]}),
+                      flush=True)
+        ref = outs.get("xla_unrolled")
+        parity = {r: float(np.max(np.abs(o - ref)))
+                  for r, o in outs.items() if ref is not None}
+        best = min(times, key=times.get) if times else None
+        print(json.dumps({"robot": name, "algo": "idsva_so",
+                          "parity_vs_unrolled": parity, "fastest": best}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

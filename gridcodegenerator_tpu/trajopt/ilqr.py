@@ -130,8 +130,14 @@ def dynamics_step(model: RobotModel, x, u, dt, gravity=DEFAULT_GRAVITY):
     return jnp.concatenate([q + dt * qd_new, qd_new], axis=0)
 
 
-def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
+def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig,
+              expose_parts: bool = False):
     """Build a batched solver: solve(x0 (2n,B), U0 (N,n,B)) -> ILQRResult.
+
+    ``expose_parts=True`` additionally returns the internal phase closures
+    ({rollout, linearize, backward, forward, total_cost}) so the benchmark
+    driver can time each solver phase in isolation (the per-phase
+    decomposition of the headline solves/s metric).
 
     The returned callable is pure and jittable (callers should wrap in
     ``jax.jit``); everything inside specializes on the static config/model.
@@ -527,4 +533,8 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig):
         ctrace = jnp.concatenate([c0[None], ctrace], axis=0)
         return ILQRResult(Xf, Uf, cf, ctrace, Ks_all[-1], ks_all[-1])
 
+    if expose_parts:
+        return solve, {"rollout": rollout, "linearize": linearize,
+                       "backward": backward, "forward": forward,
+                       "total_cost": total_cost}
     return solve
