@@ -116,13 +116,15 @@ def parse_urdf_native(source: str, floating_base: bool = False,
         Xt = fbuf[off:off + 36].reshape(6, 6).copy(); off += 36
         Tt = fbuf[off:off + 16].reshape(4, 4).copy(); off += 16
         Im = fbuf[off:off + 36].reshape(6, 6).copy(); off += 36
-        damping, lo, hi = fbuf[off], fbuf[off + 1], fbuf[off + 2]; off += 3
+        damping, lo, hi = fbuf[off], fbuf[off + 1], fbuf[off + 2]
+        eff, vel = fbuf[off + 3], fbuf[off + 4]; off += 5
         parent, jtype, s_ind = (int(ibuf[2 + 3 * i]), int(ibuf[3 + 3 * i]),
                                 int(ibuf[4 + 3 * i]))
         joints.append(Joint(
             name=jnames[i], jid=i, parent_id=parent, jtype=JTYPES[jtype],
             S_ind=s_ind, Xtree=Xt, Ttree=Tt, damping=float(damping),
-            limit_lower=float(lo), limit_upper=float(hi)))
+            limit_lower=float(lo), limit_upper=float(hi),
+            effort_limit=float(eff), velocity_limit=float(vel)))
         Imats.append(Im)
     fixed = []
     for k in range(nf):

@@ -348,7 +348,7 @@ struct Movable {
   int parent_id;
   int jtype;  // 0 revolute, 1 prismatic
   int s_ind;
-  double Xtree[36], Ttree[16], damping, lo, hi, Imat[36];
+  double Xtree[36], Ttree[16], damping, lo, hi, effort, velocity, Imat[36];
 };
 
 struct Fixed {
@@ -479,21 +479,56 @@ bool build_robot(const XmlNode* root, Robot* out) {
         const XmlNode* lim = j->find("limit");
         mj.lo = -HUGE_VAL;
         mj.hi = HUGE_VAL;
-        if (lim && jtype != "continuous") {
-          std::string lo = lim->attr("lower"), hi = lim->attr("upper");
-          if (!lo.empty()) mj.lo = std::strtod(lo.c_str(), nullptr);
-          if (!hi.empty()) mj.hi = std::strtod(hi.c_str(), nullptr);
+        mj.effort = HUGE_VAL;
+        mj.velocity = HUGE_VAL;
+        if (lim) {
+          if (jtype != "continuous") {
+            std::string lo = lim->attr("lower"), hi = lim->attr("upper");
+            if (!lo.empty()) mj.lo = std::strtod(lo.c_str(), nullptr);
+            if (!hi.empty()) mj.hi = std::strtod(hi.c_str(), nullptr);
+          }
+          std::string ef = lim->attr("effort"), ve = lim->attr("velocity");
+          // URDF uses effort="0" for "unenforced" (matches urdf.py)
+          if (!ef.empty()) {
+            double v = std::strtod(ef.c_str(), nullptr);
+            if (v > 0) mj.effort = v;
+          }
+          if (!ve.empty()) {
+            double v = std::strtod(ve.c_str(), nullptr);
+            if (v > 0) mj.velocity = v;
+          }
         }
         double m, com[3], I[9];
         parse_inertial(links[cl], m, com, I);
-        spatial_inertia(m, com, I, mj.Imat);
+        // Axis normalization rotated the joint (= child link) frame by
+        // R_extra (URDF coords = R_extra @ ours): re-express the child
+        // inertia and all descendant origins in the rotated frame via
+        // T_corr = hom(R_extra^T, 0) — matches topology/urdf.py.
+        double I6[36];
+        spatial_inertia(m, com, I, I6);
+        bool rot = !(R_extra[0] == 1 && R_extra[4] == 1 && R_extra[8] == 1 &&
+                     R_extra[1] == 0 && R_extra[2] == 0 && R_extra[3] == 0 &&
+                     R_extra[5] == 0 && R_extra[6] == 0 && R_extra[7] == 0);
+        double Tcorr[16];
+        {
+          double ReT[9];
+          for (int i = 0; i < 3; ++i)
+            for (int k = 0; k < 3; ++k) ReT[3 * i + k] = R_extra[3 * k + i];
+          double zero3[3] = {0, 0, 0};
+          hom_from_R_p(ReT, zero3, Tcorr);
+        }
+        if (rot) {
+          std::memset(mj.Imat, 0, sizeof(mj.Imat));
+          merge_inertia(mj.Imat, Tcorr, I6);
+        } else {
+          std::memcpy(mj.Imat, I6, sizeof(I6));
+        }
         int jid = (int)out->joints.size();
         out->joints.push_back(mj);
         QItem next;
         next.link = cl;
         next.parent_jid = jid;
-        std::memset(next.T, 0, sizeof(next.T));
-        next.T[0] = next.T[5] = next.T[10] = next.T[15] = 1;
+        std::memcpy(next.T, Tcorr, sizeof(Tcorr));
         queue.push_back(next);
         continue;
       }
@@ -511,7 +546,8 @@ bool build_robot(const XmlNode* root, Robot* out) {
 //
 // fbuf layout (float64):
 //   [base_inertia 36]
-//   per joint i in id order: [Xtree 36][Ttree 16][Imat 36][damping][lo][hi]
+//   per joint i in id order:
+//     [Xtree 36][Ttree 16][Imat 36][damping][lo][hi][effort][velocity]
 //   per fixed joint: [Ttree 16]
 // ibuf layout (int64):
 //   [n][nf]
@@ -533,7 +569,7 @@ int gct_topology_from_urdf(const char* xml, double* fbuf, long fcap,
 
   long n = (long)robot.joints.size();
   long nf = (long)robot.fixed.size();
-  long fneed = 36 + n * (36 + 16 + 36 + 3) + nf * 16;
+  long fneed = 36 + n * (36 + 16 + 36 + 5) + nf * 16;
   long ineed = 2 + n * 3 + nf;
   std::string allnames;
   for (auto& j : robot.joints) allnames += j.name + "\n";
@@ -554,6 +590,8 @@ int gct_topology_from_urdf(const char* xml, double* fbuf, long fcap,
     *f++ = j.damping;
     *f++ = j.lo;
     *f++ = j.hi;
+    *f++ = j.effort;
+    *f++ = j.velocity;
   }
   for (auto& fx : robot.fixed) {
     std::memcpy(f, fx.Ttree, 16 * sizeof(double));

@@ -30,6 +30,8 @@ def test_native_matches_python(name):
         assert jn.damping == jp.damping
         assert (jn.limit_lower, jn.limit_upper) == \
                (jp.limit_lower, jp.limit_upper)
+        assert (jn.effort_limit, jn.velocity_limit) == \
+               (jp.effort_limit, jp.velocity_limit)
     np.testing.assert_allclose(tn.get_Imats_ordered_by_id()[0],
                                tp.get_Imats_ordered_by_id()[0], atol=1e-14)
     for k in range(tn.get_num_fixed_joints()):
