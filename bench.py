@@ -37,7 +37,7 @@ def config1(jnp, jax):
     from gridcodegenerator_tpu.api import GRiD
     from gridcodegenerator_tpu.models.zoo import load_robot
     from gridcodegenerator_tpu.reference import oracle
-    from gridcodegenerator_tpu.utils.timing import time_kernel
+    from gridcodegenerator_tpu.utils.timing import time_kernel, time_kernel_ex
 
     topo = load_robot("iiwa")
     g = GRiD("iiwa", dtype=jnp.float32)
@@ -63,19 +63,27 @@ def config1(jnp, jax):
     # the regime evidence the GRiD paper's single-call us comparison needs
     B = 1024
     qb = jnp.asarray(rng.uniform(-1, 1, (B, n)), jnp.float32)
-    t_id_b = time_kernel(lambda a_, b_, c_: g.id(a_, b_, c_),
-                         (qb, qb, qb), iters=100)
-    t_du_b = time_kernel(lambda a_, b_, c_: g.id_du(a_, b_, c_),
-                         (qb, qb, qb), iters=100)
-    return {"config": 1, "metric": "single_traj_id_plus_grad_iiwa",
-            "id_us": round(t_id * 1e6, 2), "id_du_us": round(t_du * 1e6, 2),
-            "id_us_per_sample_B1024": round(t_id_b * 1e6 / B, 4),
-            "id_du_us_per_sample_B1024": round(t_du_b * 1e6 / B, 4),
-            "latency_note": ("B=1 occupies <1% of the VPU lanes; the "
-                             "B=1024 per-sample figures are the "
-                             "throughput-regime numbers"),
-            "max_err_vs_oracle": {"id": err_c, "id_du": err_d},
-            "pass": bool(err_c < 1e-4 and err_d < 1e-3)}
+    t_id_b = time_kernel_ex(lambda a_, b_, c_: g.id(a_, b_, c_),
+                            (qb, qb, qb), iters=100)
+    t_du_b = time_kernel_ex(lambda a_, b_, c_: g.id_du(a_, b_, c_),
+                            (qb, qb, qb), iters=100)
+    out = {"config": 1, "metric": "single_traj_id_plus_grad_iiwa",
+           "id_us": round(t_id * 1e6, 2), "id_du_us": round(t_du * 1e6, 2),
+           "id_us_per_sample_B1024": round(t_id_b.seconds * 1e6 / B, 4),
+           "id_du_us_per_sample_B1024": round(t_du_b.seconds * 1e6 / B, 4)}
+    # a measurement the differential harness could not resolve above launch
+    # jitter even after escalating K is flagged, never published as 0.0
+    if t_id_b.below_resolution:
+        out["id_B1024_below_resolution"] = True
+    if t_du_b.below_resolution:
+        out["id_du_B1024_below_resolution"] = True
+    out.update({
+        "latency_note": ("B=1 occupies <1% of the VPU lanes; the "
+                         "B=1024 per-sample figures are the "
+                         "throughput-regime numbers"),
+        "max_err_vs_oracle": {"id": err_c, "id_du": err_d},
+        "pass": bool(err_c < 1e-4 and err_d < 1e-3)})
+    return out
 
 
 def config2(jnp, jax):
@@ -90,6 +98,10 @@ def config2(jnp, jax):
                 for _ in range(3))
     t_aba = time_kernel(lambda a_, b_, c_: g.aba(a_, b_, c_),
                         (q, qd, u), iters=100)
+    # second independent measurement: makes launch-jitter noise visible in
+    # the artifact (the r2->r3 4.85->11.02 us swing was unexplained)
+    t_aba2 = time_kernel(lambda a_, b_, c_: g.aba(a_, b_, c_),
+                         (q, qd, u), iters=100)
     t_fddu = time_kernel(lambda a_, b_, c_: g.fd_du(a_, b_, c_),
                          (q, qd, u), iters=100)
     return {"config": 2, "metric": "batched_aba_fd_du_evals_per_s_iiwa",
@@ -97,7 +109,14 @@ def config2(jnp, jax):
             "aba_evals_per_s": round(B / t_aba, 1),
             "fd_du_evals_per_s": round(B / t_fddu, 1),
             "aba_us_per_call": round(t_aba * 1e6, 2),
-            "fd_du_us_per_call": round(t_fddu * 1e6, 2)}
+            "aba_us_per_call_repeat": round(t_aba2 * 1e6, 2),
+            "fd_du_us_per_call": round(t_fddu * 1e6, 2),
+            "r2_regression_note": (
+                "the r2->r3 4.85->11 us ABA swing was bisected (r4): the "
+                "round-2 code snapshot re-measured ~9.0 us on the current "
+                "toolchain vs ~9.6-10.2 us for today's code at iters=400 — "
+                "the shift is environmental (libtpu/serving path), not a "
+                "code regression; fd_du held steady throughout")}
 
 
 def config3(jnp, jax):
@@ -130,11 +149,15 @@ def config3(jnp, jax):
     # the solve at kernel roofline is measured, not guessed -------------
     import jax as _jax
     _, parts = make_ilqr(model, cost, cfg, expose_parts=True)
-    X = _jax.jit(parts["rollout"])(x0, U0)
-    Amat, Bmat, _ = _jax.jit(lambda X_, U_: parts["linearize"](X_[:N], U_)
-                             )(X, U0)
-    ks, Ks = _jax.jit(lambda X_, U_, A_, B_: parts["backward"](
-        X_, U_, A_, B_, None))(X, U0, Amat, Bmat)
+
+    @_jax.jit  # ONE compile for all representative iteration state
+    def _prep(x0_, U0_):
+        X_ = parts["rollout"](x0_, U0_)
+        A_, B_, _ = parts["linearize"](X_[:N], U0_)
+        ks_, Ks_ = parts["backward"](X_, U0_, A_, B_, None)
+        return X_, A_, B_, ks_, Ks_
+
+    X, Amat, Bmat, ks, Ks = _prep(x0, U0)
     ph = {}
     ph["rollout_us"] = time_kernel(parts["rollout"], (x0, U0), iters=20)
     ph["linearize_us"] = time_kernel(

@@ -26,6 +26,20 @@ def _load(name):
         return json.load(f)
 
 
+def _latest_round(prefix: str, want: int):
+    """Newest round <= ``want`` whose ``{prefix}_r{NN}.json`` exists (falls
+    back further when the current round's artifact is not written yet —
+    VERDICT r3 weak #6: regen must not blank the README block)."""
+    import glob
+    rounds = []
+    for p in glob.glob(os.path.join(REPO, f"{prefix}_r??.json")):
+        m = re.search(r"_r(\d\d)\.json$", p)
+        if m:
+            rounds.append(int(m.group(1)))
+    cand = [r for r in sorted(rounds, reverse=True) if r <= want]
+    return cand[0] if cand else None
+
+
 def _kernel_rows(path):
     rows = []
     if not os.path.exists(path):
@@ -41,19 +55,36 @@ def _kernel_rows(path):
     return rows
 
 
+def _bench_data(want: int):
+    """(round, payload-with-configs) for the newest usable bench artifact.
+    Unwraps the driver's {rc, tail, parsed} envelope; skips rounds whose
+    capture has no per-config data (e.g. r3's rc=124 timeout)."""
+    for rnd in range(want, 0, -1):
+        b = _load(f"BENCH_r{rnd:02d}.json")
+        if not b:
+            continue
+        if "parsed" in b:
+            b = b.get("parsed") or {}
+        if b.get("configs"):
+            return rnd, b
+    return None, None
+
+
 def render(rnd: int) -> str:
-    b = _load(f"BENCH_r{rnd:02d}.json")
-    cc = _load(f"CROSSCHECK_r{rnd:02d}.json")
+    bench_rnd, b = _bench_data(rnd)
+    cc_rnd = _latest_round("CROSSCHECK", rnd)
+    cc = _load(f"CROSSCHECK_r{cc_rnd:02d}.json") if cc_rnd else None
     lines = []
     if b:
+        rnd_b = bench_rnd
         cfgs = b.get("configs", {})
         c3 = cfgs.get("3", {})
         c4 = cfgs.get("4", {})
         c2 = cfgs.get("2", {})
         c5 = cfgs.get("5", {})
         lines.append(
-            f"Round-{rnd} numbers on one TPU v5e chip "
-            f"(`BENCH_r{rnd:02d}.json`; the reference repo publishes no "
+            f"Round-{rnd_b} numbers on one TPU v5e chip "
+            f"(`BENCH_r{rnd_b:02d}.json`; the reference repo publishes no "
             "numbers, `BASELINE.md`):")
         lines.append("")
         if c3:
@@ -92,7 +123,9 @@ def render(rnd: int) -> str:
                 "Atlas (28-DoF) rollouts + consensus at "
                 f"{c5.get('scenario_solves_per_s', 0)/1000:.1f}k "
                 "scenario-solves/s on a single chip.")
-    kr = _kernel_rows(os.path.join(REPO, f"BENCH_kernels_r{rnd:02d}.json"))
+    kr_rnd = _latest_round("BENCH_kernels", rnd)
+    kr = (_kernel_rows(os.path.join(REPO, f"BENCH_kernels_r{kr_rnd:02d}"
+                                          ".json")) if kr_rnd else [])
     if kr:
         best = {}
         for r in kr:
@@ -107,7 +140,7 @@ def render(rnd: int) -> str:
                 f"- fused-kernel roofline (hand-counted FLOP model, "
                 f"`benchmarks/flops.py`; no row exceeds 100%): {frag} "
                 f"of speed-of-light at B={tops[0]['batch']} "
-                f"(`BENCH_kernels_r{rnd:02d}.json`, 12 algorithms x 2 "
+                f"(`BENCH_kernels_r{kr_rnd:02d}.json`, 12 algorithms x 2 "
                 "tiers x 3+ robots).")
     if cc:
         nrob = len(cc.get("robots", {}))
@@ -116,13 +149,13 @@ def render(rnd: int) -> str:
             "cross-validated against MuJoCo (RNEA/CRBA/Minv/ABA/"
             "ID-gradient/EE frames, fixed AND floating base) and against "
             "the reference repo's own `_test.py` oracle "
-            f"(`CROSSCHECK_r{rnd:02d}.json`, all pass).")
+            f"(`CROSSCHECK_r{cc_rnd:02d}.json`, all pass).")
     return "\n".join(lines)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=3)
+    ap.add_argument("--round", type=int, default=99)
     args = ap.parse_args()
     block = render(args.round)
     path = os.path.join(REPO, "README.md")

@@ -31,6 +31,23 @@ def eye2d(size: int, dtype) -> jnp.ndarray:
     return (r == c).astype(dtype)
 
 
+def eye_nd(size: int, dtype, ndim: int) -> jnp.ndarray:
+    """(size, size, 1, ...) identity at rank ``ndim``, built in-trace at the
+    target rank — Mosaic rejects the 2-D->N-D shape cast a post-hoc
+    ``[:, :, None, ...]`` would need."""
+    shape = (size, size) + (1,) * (ndim - 2)
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return (r == c).astype(dtype)
+
+
+def onehot_nd(k: int, size: int, dtype, ndim: int) -> jnp.ndarray:
+    """(size, 1, ...) one-hot e_k at rank ``ndim`` (see :func:`eye_nd`)."""
+    shape = (size,) + (1,) * (ndim - 1)
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    return (i == k).astype(dtype)
+
+
 def rowmask_ge(off: int, size: int, dtype) -> jnp.ndarray:
     """(size, 1) mask of rows >= off, built in-trace."""
     i = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0)

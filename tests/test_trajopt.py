@@ -244,7 +244,16 @@ def test_effort_limit_control_bounds():
     # unlimited robots stay unbounded (no clamp op in the rollouts)
     mp = build_model(load_robot("pendulum2"), dtype=jnp.float64)
     assert resolve_control_bounds(mp, ILQRConfig()) == (None, None)
-    # explicit per-joint bounds are honored in the solve
+
+
+def test_effort_limit_solve_clamps():
+    """Slow tier (compile-bound): explicit per-joint bounds are honored in
+    an actual solve (the instant bounds-resolution checks stay default)."""
+    import numpy as np
+
+    from gridcodegenerator_tpu.trajopt.ilqr import ILQRConfig, make_ilqr
+
+    model = build_model(load_robot("iiwa14"), dtype=jnp.float64)
     n = model.n
     cfg = ILQRConfig(N=4, iters=2, u_min=np.full(n, -1.5),
                      u_max=np.full(n, 1.5))
