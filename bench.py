@@ -204,9 +204,12 @@ def config4(jnp, jax):
     from gridcodegenerator_tpu.trajopt.sqp import SQPConfig, make_sqp
     from gridcodegenerator_tpu.utils.timing import time_kernel
 
-    out = {"config": 4, "metric": "sqp_exact_hessian_solves_per_s"}
+    out = {"config": 4, "metric": "sqp_exact_hessian_solves_per_s",
+           "note": ("gym_ant carries published MuJoCo-project parameters "
+                    "(models/vendor, converted + crosschecked); hyq is the "
+                    "class-accurate quadruped")}
     rng = np.random.default_rng(0)
-    for name, B in (("iiwa", 1024), ("hyq", 512)):
+    for name, B in (("iiwa", 1024), ("hyq", 512), ("gym_ant", 512)):
         model = build_model(load_robot(name), dtype=jnp.float32)
         n = model.n
         N, ITERS = 32, 4
@@ -234,31 +237,38 @@ def config5(jnp, jax):
     from gridcodegenerator_tpu.trajopt.cost import QuadCost
     from gridcodegenerator_tpu.trajopt.ilqr import ILQRConfig
 
-    model = build_model(load_robot("atlas"), dtype=jnp.float32)
-    n = model.n
     ndev = len(jax.devices())
     S = 4096 if jax.default_backend() == "tpu" else 8 * ndev  # dryrun scale
     N, ITERS = 16, 2
     mesh = make_mesh(ndev)
-    icfg = ILQRConfig(N=N, dt=0.01, iters=ITERS)
-    xg = jnp.zeros(2 * n).at[0].set(0.2)
-    cost = QuadCost(Q=jnp.full(2 * n, 0.1), R=jnp.full(n, 1e-3),
-                    Qf=jnp.full(2 * n, 10.0), x_goal=xg)
-    cfg = ScenarioMPCConfig(ilqr=icfg, n_scenarios=S)
-    step = make_scenario_step(model, cost, cfg, mesh)
-    x0s = perturb_scenarios(jax.random.PRNGKey(0), jnp.zeros(2 * n), S, 0.02)
-    U = jnp.zeros((icfg.N, n, S), jnp.float32)
-    jax.block_until_ready(step(x0s, U))  # compile
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = step(x0s, U)
-    jax.block_until_ready(out)
-    sec = (time.perf_counter() - t0) / reps
-    return {"config": 5, "metric": "scenario_tree_atlas_rollouts",
-            "scenarios": S, "devices": ndev, "knots": N,
-            "step_ms": round(sec * 1e3, 2),
-            "scenario_solves_per_s": round(S / sec, 1)}
+    res = {"config": 5, "metric": "scenario_tree_atlas_rollouts",
+           "scenarios": S, "devices": ndev, "knots": N,
+           "note": ("gym_humanoid carries published MuJoCo-project "
+                    "parameters (models/vendor); atlas is the "
+                    "class-accurate 28-DoF humanoid")}
+    for name in ("atlas", "gym_humanoid"):
+        model = build_model(load_robot(name), dtype=jnp.float32)
+        n = model.n
+        icfg = ILQRConfig(N=N, dt=0.01, iters=ITERS)
+        xg = jnp.zeros(2 * n).at[0].set(0.2)
+        cost = QuadCost(Q=jnp.full(2 * n, 0.1), R=jnp.full(n, 1e-3),
+                        Qf=jnp.full(2 * n, 10.0), x_goal=xg)
+        cfg = ScenarioMPCConfig(ilqr=icfg, n_scenarios=S)
+        step = make_scenario_step(model, cost, cfg, mesh)
+        x0s = perturb_scenarios(jax.random.PRNGKey(0), jnp.zeros(2 * n),
+                                S, 0.02)
+        U = jnp.zeros((icfg.N, n, S), jnp.float32)
+        jax.block_until_ready(step(x0s, U))  # compile
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = step(x0s, U)
+        jax.block_until_ready(out)
+        sec = (time.perf_counter() - t0) / reps
+        key = "" if name == "atlas" else f"{name}_"
+        res[f"{key}step_ms"] = round(sec * 1e3, 2)
+        res[f"{key}scenario_solves_per_s"] = round(S / sec, 1)
+    return res
 
 
 def main():

@@ -11,10 +11,16 @@ fills the same role with two sources the builder did not write:
    - forward dynamics (ABA)    vs ``mj_forward`` qacc
    - ID gradient dc/dq, dc/dqd vs ``mjd_inverseFD`` (finite differences)
    - EE pose (xyz + rotation)  vs body ``xpos``/``xmat`` after kinematics
-   - floating base: free-joint RNEA / FD with the convention mapping
+   - floating base: free-joint RNEA / ABA / CRBA / Minv / id_du / fd_du
+     with the convention mapping
      (ours: q=[p, quat xyzw, joints], qd=[w_body, v_body, joints];
       MuJoCo: qpos=[p, quat wxyz, ...], qvel=[pdot_world, w_body, ...],
-      v_body = R^T pdot, generalized force [R f_body, n_body]).
+      v_body = R^T pdot, generalized force [R f_body, n_body]); the
+      mass-matrix legs map by the chart-invariant quadratic form
+      M_my = S^T M_mj S, the gradient legs by central finite differences
+      of the chart-mapped MuJoCo functions (mjd_inverseFD holds MuJoCo's
+      qacc fixed, which differs from our acceleration coordinates by
+      velocity-product terms, so direct Jacobian mapping is wrong).
    Joint-limit and contact constraints are disabled (mj_inverse otherwise
    adds constraint forces for out-of-range q — unconstrained rigid-body
    dynamics is what the suite computes).
@@ -25,7 +31,7 @@ fills the same role with two sources the builder did not write:
    test_rnea_grad / test_fd_grad vs our ``reference/oracle.py``.
 
 Writes one JSON line per (robot, source, algorithm) and the artifact
-``CROSSCHECK_r03.json`` at the repo root.
+``CROSSCHECK_r{N}.json`` at the repo root.
 
 Run:  python benchmarks/crosscheck.py [--samples K] [--out FILE]
 """
@@ -236,10 +242,38 @@ def crosscheck_mujoco_floating(name: str, samples: int):
     assert m.nv == nj + 6
     perm = _perm(m, topo, skip_dofs=1) - 6  # actuated dof order after the free 6
 
+    from gridcodegenerator_tpu.ops.crba import crba as _crba
+    from gridcodegenerator_tpu.ops.fd_grad import fd_grad as _fd_grad
+    from gridcodegenerator_tpu.ops.id_grad import id_grad as _id_grad
+    from gridcodegenerator_tpu.ops.minv import minv as _minv
+
     id_fn = jax.jit(lambda q, qd, qdd: _rnea(model, q, qd, qdd))
     fd_fn = jax.jit(lambda q, qd, u: _aba(model, q, qd, u))
+    crba_fn = jax.jit(lambda q: _crba(model, q))
+    minv_fn = jax.jit(lambda q: _minv(model, q, dense=True))
+    id_du_fn = jax.jit(lambda q, qd, qdd: _id_grad(model, q, qd, qdd))
+    fd_du_fn = jax.jit(lambda q, qd, u: _fd_grad(model, q, qd, u))
 
-    errs = {"rnea": 0.0, "aba": 0.0}
+    nv = nj + 6
+
+    def _S_map(R):
+        """S with qvel_mj = S @ qd_my.
+
+        ours: qd = [w_body, v_body, qdj (our joint order)];
+        MuJoCo free joint: qvel = [pdot_world, w_body, qdj[perm]].
+        The same S maps our base tangent [dtheta_body, dp_body] to
+        MuJoCo's [dp_world, dtheta_body] (both rotation charts are
+        body-frame; mju_integratePos integrates the free-joint quaternion
+        with a local angular displacement)."""
+        S = np.zeros((nv, nv))
+        S[0:3, 3:6] = R                      # pdot_world = R v_body
+        S[3:6, 0:3] = np.eye(3)              # w_body passthrough
+        for k in range(nj):
+            S[6 + perm[k], 6 + k] = 1.0
+        return S
+
+    errs = {"rnea": 0.0, "aba": 0.0, "crba": 0.0, "minv": 0.0,
+            "id_du": 0.0, "fd_du": 0.0}
     rng = np.random.default_rng(0)
     for _ in range(samples):
         qj = rng.uniform(-1, 1, nj)
@@ -282,6 +316,83 @@ def crosscheck_mujoco_floating(name: str, samples: int):
                                    jnp.asarray(qd_my)[:, None],
                                    jnp.asarray(u_my)[:, None]))[:, 0]
         errs["aba"] = max(errs["aba"], float(np.max(np.abs(qdd_my2 - qdd_mj))))
+
+        # ---- mass matrix / Minv: kinetic energy is chart-invariant, so
+        # M_my = S^T M_mj S with qvel_mj = S qd_my -----------------------
+        S = _S_map(R)
+        M_mj = np.zeros((nv, nv))
+        mujoco.mj_fullM(m, d, M_mj)
+        M_map = S.T @ M_mj @ S
+        M_my = np.asarray(crba_fn(jnp.asarray(q_my)[:, None]))[:, :, 0]
+        errs["crba"] = max(errs["crba"], float(np.max(np.abs(M_my - M_map))))
+        Mi_my = np.asarray(minv_fn(jnp.asarray(q_my)[:, None]))[:, :, 0]
+        errs["minv"] = max(errs["minv"], float(np.max(np.abs(
+            Mi_my - np.linalg.inv(M_map)))))
+
+        # ---- ID / FD gradients (VERDICT r3 missing #1): central finite
+        # differences OF THE CHART-MAPPED MuJoCo functions, evaluated in
+        # OUR coordinates. mjd_inverseFD cannot be used directly: it holds
+        # MuJoCo's qacc fixed, while our gradient holds our [wdot, vdot_b]
+        # coordinates fixed — qacc_mj = R(vdot_b + w x v) couples them, so
+        # the naive S^T J S mapping is wrong by velocity-product terms.
+        # The retraction matches our chart: p + R dp_body, local (body-
+        # frame) quaternion increment via mju_quatIntegrate, q_j + dj.
+        def retract(delta):
+            dth, dp, dj = delta[:3], delta[3:6], delta[6:]
+            quat2 = quat.copy()
+            mujoco.mju_quatIntegrate(quat2, dth, 1.0)
+            return p + R @ dp, quat2, qj + dj
+
+        def id_via_mj(pq, quatq, qjq, qd_loc):
+            Rq = np.zeros(9); mujoco.mju_quat2Mat(Rq, quatq)
+            Rq = Rq.reshape(3, 3)
+            w, v, qd_j = qd_loc[:3], qd_loc[3:6], qd_loc[6:]
+            d.qpos[:3] = pq; d.qpos[3:7] = quatq; d.qpos[7:][perm] = qjq
+            d.qvel[:3] = Rq @ v; d.qvel[3:6] = w; d.qvel[6:][perm] = qd_j
+            d.qacc[:3] = Rq @ (qdd_my[3:6] + np.cross(w, v))
+            d.qacc[3:6] = qdd_my[:3]; d.qacc[6:][perm] = qdd_my[6:]
+            mujoco.mj_inverse(m, d)
+            f = np.asarray(d.qfrc_inverse)
+            return np.concatenate([f[3:6], Rq.T @ f[:3], f[6:][perm]])
+
+        def fd_via_mj(pq, quatq, qjq, qd_loc):
+            Rq = np.zeros(9); mujoco.mju_quat2Mat(Rq, quatq)
+            Rq = Rq.reshape(3, 3)
+            w, v, qd_j = qd_loc[:3], qd_loc[3:6], qd_loc[6:]
+            d3 = mujoco.MjData(m)
+            d3.qpos[:3] = pq; d3.qpos[3:7] = quatq; d3.qpos[7:][perm] = qjq
+            d3.qvel[:3] = Rq @ v; d3.qvel[3:6] = w; d3.qvel[6:][perm] = qd_j
+            d3.qfrc_applied[6:][perm] = uj
+            mujoco.mj_forward(m, d3)
+            a = d3.qacc
+            return np.concatenate([a[3:6], Rq.T @ a[:3] - np.cross(w, v),
+                                   a[6:][perm]])
+
+        eps = 1e-6
+        Jid = np.zeros((nv, 2 * nv))
+        Jfd_ = np.zeros((nv, 2 * nv))
+        for k in range(nv):
+            dlt = np.zeros(nv); dlt[k] = eps
+            pp, qp, jp = retract(dlt)
+            pm, qm, jm = retract(-dlt)
+            Jid[:, k] = (id_via_mj(pp, qp, jp, qd_my)
+                         - id_via_mj(pm, qm, jm, qd_my)) / (2 * eps)
+            Jfd_[:, k] = (fd_via_mj(pp, qp, jp, qd_my)
+                          - fd_via_mj(pm, qm, jm, qd_my)) / (2 * eps)
+            Jid[:, nv + k] = (id_via_mj(p, quat, qj, qd_my + dlt)
+                              - id_via_mj(p, quat, qj, qd_my - dlt)) / (2 * eps)
+            Jfd_[:, nv + k] = (fd_via_mj(p, quat, qj, qd_my + dlt)
+                               - fd_via_mj(p, quat, qj, qd_my - dlt)) / (2 * eps)
+        dc_my = np.asarray(id_du_fn(
+            jnp.asarray(q_my)[:, None], jnp.asarray(qd_my)[:, None],
+            jnp.asarray(qdd_my)[:, None]))[:, :, 0]
+        errs["id_du"] = max(errs["id_du"],
+                            float(np.max(np.abs(dc_my - Jid))))
+        df_my = np.asarray(fd_du_fn(
+            jnp.asarray(q_my)[:, None], jnp.asarray(qd_my)[:, None],
+            jnp.asarray(u_my)[:, None]))[:, :, 0]
+        errs["fd_du"] = max(errs["fd_du"],
+                            float(np.max(np.abs(df_my - Jfd_))))
     return errs
 
 
@@ -339,13 +450,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", type=int, default=16)
     ap.add_argument("--out", type=str,
-                    default=os.path.join(REPO, "CROSSCHECK_r03.json"))
+                    default=os.path.join(REPO, "CROSSCHECK_r04.json"))
     args = ap.parse_args()
 
     results = {"samples": args.samples, "robots": {}}
     ok = True
 
-    fixed_robots = ["iiwa", "iiwa14", "hyq", "atlas", "pendulum4", "mixed5"]
+    fixed_robots = ["iiwa", "iiwa14", "hyq", "atlas", "gym_ant",
+                    "gym_humanoid", "pendulum4", "mixed5"]
     try:
         import mujoco
         results["mujoco_version"] = mujoco.__version__
@@ -379,7 +491,8 @@ def main():
     if mujoco is not None:
         for name in ["iiwa_floating", "hyq_floating"]:
             e = crosscheck_mujoco_floating(name, min(args.samples, 4))
-            rec = {"mujoco": e, "mujoco_pass": tol_ok(e, {})}
+            rec = {"mujoco": e, "mujoco_pass": tol_ok(
+                e, {"id_du": TOL_FD, "fd_du": TOL_FD})}
             ok &= rec["mujoco_pass"]
             results["robots"][name] = rec
             print(json.dumps({"robot": name, **rec}), flush=True)

@@ -248,6 +248,13 @@ _URDF_SOURCES = {
     "iiwa14": lambda: _vendor_urdf("iiwa14.urdf"),
     "hyq": hyq_urdf,
     "atlas": atlas_urdf,
+    # published MuJoCo-project models (gymnasium-robotics assets) with the
+    # MuJoCo-compiled inertial parameters, converted by
+    # benchmarks/convert_mjcf.py — quadruped/humanoid classes whose
+    # parameters the builder did NOT invent (validated against the
+    # original MJCF by tests/test_mjcf_vendor.py)
+    "gym_ant": lambda: _vendor_urdf("gym_ant.urdf"),
+    "gym_humanoid": lambda: _vendor_urdf("gym_humanoid.urdf"),
     "pendulum2": lambda: pendulum_urdf(2),
     "pendulum4": lambda: pendulum_urdf(4),
     "mixed5": mixed_chain_urdf,

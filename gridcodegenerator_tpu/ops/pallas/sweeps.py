@@ -205,6 +205,145 @@ def _rebind(model: RobotModel, cvals):
                                damping=damping, subtree_mask=subtree_mask)
 
 
+def riccati_pallas_factored(n: int, N: int, reg: float, r: int,
+                            qd_diag: float, u_diag: float,
+                            dtype=jnp.float32, interpret: bool = False):
+    """Fused Riccati backward sweep for GAUSS-NEWTON-FACTORED stage costs.
+
+    For costs of the form lxx = blkdiag(Jw^T Jw, qd_diag*I), luu = u_diag*I,
+    lux = 0 (e.g. ``EEReachCost``: Jw = sqrt(w_pos) * dEE/dq), materializing
+    the dense (nx, nx, N*B) curvature costs ~17 ms/sweep of HBM traffic at
+    MPC sizes — 3x the whole Riccati kernel. This variant streams the
+    (r, n) factor instead (8x less curvature traffic) and forms Jw^T Jw
+    per knot in VMEM.
+
+    Flat-layout inputs: ``lx (nx, N*B)``, ``lu (n, N*B)``, ``Jw (r, n,
+    N*B)`` arrive in the solver's knot-major lane layout (lane = t*B + b)
+    and are only RESHAPED to (d, N, G, L) — the knot axis is indexed in
+    place, no transpose ever materializes. A/B and outputs keep the
+    (N, ..., B) layout of :func:`riccati_pallas`.
+    """
+    nx = 2 * n
+
+    def kernel(A_ref, B_ref, lx_ref, lu_ref, Jw_ref, Vx0_ref, Vxx0_ref,
+               ks_ref, Ks_ref, Vx_s, Vxx_s):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _init():
+            Vx_s[...] = Vx0_ref[...]
+            Vxx_s[...] = Vxx0_ref[...]
+
+        Vx = Vx_s[...]
+        Vxx = Vxx_s[...]
+        A, Bm = A_ref[0], B_ref[0]
+        lx_t = lx_ref[:, 0]
+        lu_t = lu_ref[:, 0]
+        Jw = Jw_ref[:, :, 0]                     # (r, n, sub, L)
+        At = jnp.swapaxes(A, 0, 1)
+        Bt = jnp.swapaxes(Bm, 0, 1)
+        Qx = lx_t + bmv(At, Vx)
+        Qu = lu_t + bmv(Bt, Vx)
+        VxxA = bmm(Vxx, A)
+        Qxx = bmm(At, VxxA)
+        # + blkdiag(Jw^T Jw, qd_diag I): JJ is (n, n), qd diag hits rows n:
+        JJ = bmm(jnp.swapaxes(Jw, 0, 1), Jw)     # (n, n, sub, L)
+        row = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, 1, 1), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (nx, nx, 1, 1), 1)
+        qd_eye = ((row == col) & (row >= n)).astype(dtype)
+        zc = jnp.zeros((n, n) + JJ.shape[2:], dtype)
+        JJpad = jnp.concatenate([
+            jnp.concatenate([JJ, zc], axis=1),
+            jnp.zeros((n, nx) + JJ.shape[2:], dtype)], axis=0)
+        Qxx = Qxx + JJpad + qd_diag * qd_eye
+        Qux = bmm(Bt, VxxA)                      # lux = 0
+        Quu = bmm(Bt, bmm(Vxx, Bm)) + u_diag * eye_nd(n, dtype, 4)
+        Quu_inv = gj_inverse(Quu + reg * eye_nd(n, dtype, 4))
+        k_t = -bmv(Quu_inv, Qu)
+        K_t = -bmm(Quu_inv, Qux)
+        # full value update (cancels reg to O(reg^2)) — lockstep with
+        # trajopt/ilqr.backward's scan body, parity-tested
+        Kt_T = jnp.swapaxes(K_t, 0, 1)
+        Qux_T = jnp.swapaxes(Qux, 0, 1)
+        Vx_n = (Qx + bmv(Kt_T, bmv(Quu, k_t)) + bmv(Kt_T, Qu)
+                + bmv(Qux_T, k_t))
+        Vxx_n = (Qxx + bmm(Kt_T, bmm(Quu, K_t)) + bmm(Kt_T, Qux)
+                 + bmm(Qux_T, K_t))
+        Vxx_n = 0.5 * (Vxx_n + jnp.swapaxes(Vxx_n, 0, 1))
+        ks_ref[...] = k_t[None]
+        Ks_ref[...] = K_t[None]
+        Vx_s[...] = Vx_n
+        Vxx_s[...] = Vxx_n
+
+    def call(Amat, Bmat, lx_flat, lu_flat, Jw_flat, Vx0, Vxx0):
+        B = Amat.shape[-1]
+        if B % 128 == 0:
+            L = 128
+            G = B // L
+            sub = 8 if G % 8 == 0 else G
+        else:
+            L, G, sub = B, 1, 1
+        nb = G // sub
+
+        def r2(x):  # (..., B) -> (..., G, L)
+            return x.reshape(x.shape[:-1] + (G, L))
+
+        def rf(x):  # (d..., N*B) -> (d..., N, G, L), knot axis in place
+            return x.reshape(x.shape[:-1] + (N, G, L))
+
+        def knot_spec(*dims):   # (N, ...) leading-knot streamed block
+            nd = len(dims)
+
+            def imap(b, i, _nd=nd):
+                return (N - 1 - i,) + (0,) * _nd + (b, 0)
+
+            return pl.BlockSpec((1,) + dims + (sub, L), imap,
+                                memory_space=pltpu.VMEM)
+
+        def flat_spec(*dims):   # (d..., N, G, L) mid-knot streamed block
+            nd = len(dims)
+
+            def imap(b, i, _nd=nd):
+                return (0,) * _nd + (N - 1 - i, b, 0)
+
+            return pl.BlockSpec(dims + (1, sub, L), imap,
+                                memory_space=pltpu.VMEM)
+
+        def fixed_spec(*dims):
+            nd = len(dims)
+
+            def imap(b, i, _nd=nd):
+                return (0,) * _nd + (b, 0)
+
+            return pl.BlockSpec(dims + (sub, L), imap,
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [knot_spec(nx, nx), knot_spec(nx, n), flat_spec(nx),
+                    flat_spec(n), flat_spec(r, n), fixed_spec(nx),
+                    fixed_spec(nx, nx)]
+        out_specs = (knot_spec(n), knot_spec(n, nx))
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nb, N),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=(
+                jax.ShapeDtypeStruct((N, n, G, L), dtype),
+                jax.ShapeDtypeStruct((N, n, nx, G, L), dtype)),
+            scratch_shapes=[pltpu.VMEM((nx, sub, L), dtype),
+                            pltpu.VMEM((nx, nx, sub, L), dtype)],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=VMEM_LIMIT,
+                dimension_semantics=("arbitrary", "arbitrary")),
+        )(r2(Amat), r2(Bmat), rf(lx_flat), rf(lu_flat), rf(Jw_flat),
+          r2(Vx0), r2(Vxx0))
+        ks, Ks = outs
+        return (ks.reshape(N, n, B), Ks.reshape(N, n, nx, B))
+
+    return call
+
+
 def rollout_pallas(model: RobotModel, N: int, dt: float, gravity: float,
                    u_min: Optional[float] = None,
                    u_max: Optional[float] = None,
@@ -447,9 +586,14 @@ def riccati_pallas(n: int, N: int, reg: float, dtype=jnp.float32,
         Quu_inv = gj_inverse(Quu + reg_eye)
         k_t = -bmv(Quu_inv, Qu)
         K_t = -bmm(Quu_inv, Qux)
+        # full value update (cancels reg to O(reg^2)) — lockstep with
+        # trajopt/ilqr.backward's scan body, parity-tested
+        Kt_T = jnp.swapaxes(K_t, 0, 1)
         Qux_T = jnp.swapaxes(Qux, 0, 1)
-        Vx_n = Qx + bmv(Qux_T, k_t)
-        Vxx_n = Qxx + bmm(Qux_T, K_t)
+        Vx_n = (Qx + bmv(Kt_T, bmv(Quu, k_t)) + bmv(Kt_T, Qu)
+                + bmv(Qux_T, k_t))
+        Vxx_n = (Qxx + bmm(Kt_T, bmm(Quu, K_t)) + bmm(Kt_T, Qux)
+                 + bmm(Qux_T, K_t))
         Vxx_n = 0.5 * (Vxx_n + jnp.swapaxes(Vxx_n, 0, 1))
         ks_ref[...] = k_t[None]
         Ks_ref[...] = K_t[None]

@@ -173,9 +173,10 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig,
                       and not model.floating_base)
     blk = cfg.pallas_block
     fused_fd_du = fused_aba = fused_so = None
-    fused_roll = fused_fb = fused_ric = None
+    fused_roll = fused_fb = fused_ric = fused_ric_gn = None
     so_blk = roll_blk = ric_blk = None
     stationary_cost = getattr(cost, "stationary_curvature", False)
+    fold_t = getattr(cost, "time_invariant", False)
     if use_pallas and not model.floating_base:
         from ..ops.pallas import kernels as _pk
         from ..ops.pallas import sweeps as _ps
@@ -199,9 +200,18 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig,
                 # the streamed kernel adapts its (sub,128) tile to the lane
                 # count; callers only need B to tile into 128-lane groups
                 ric_blk = 128
-                fused_ric = _ps.riccati_pallas(
-                    n, N, cfg.reg, dtype=model.Imat.dtype,
-                    stationary_curvature=stationary_cost)
+                if (fold_t and not stationary_cost
+                        and hasattr(cost, "gn_stage_factor")):
+                    # Gauss-Newton-factored curvature: stream the (r, n)
+                    # cost factor instead of dense (nx, nx, N*B) blocks
+                    qd_d, u_d = cost.gn_factor_diags
+                    fused_ric_gn = _ps.riccati_pallas_factored(
+                        n, N, cfg.reg, cost.gn_factor_rank,
+                        float(qd_d), float(u_d), dtype=model.Imat.dtype)
+                else:
+                    fused_ric = _ps.riccati_pallas(
+                        n, N, cfg.reg, dtype=model.Imat.dtype,
+                        stationary_curvature=stationary_cost)
 
     def step(x, u):
         """Semi-implicit Euler step, fused-ABA when the lanes tile."""
@@ -221,8 +231,6 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig,
                 return xn, xn
             _, Xs = jax.lax.scan(body, x0, U)
         return jnp.concatenate([x0[None], Xs], axis=0)  # (N+1, 2n, B)
-
-    fold_t = getattr(cost, "time_invariant", False)
 
     def _fold(Z):
         """(N, d, B) -> (d, N*B), knot-major (lane = t*B + b)."""
@@ -341,6 +349,14 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig,
         # carry types match even when lxx is a broadcast constant
         Vxx0 = Vxx0 + 0.0 * Vx0[0]
 
+        if (fused_ric_gn is not None and so_t is None
+                and B % ric_blk == 0):
+            # factored fused sweep: the (r, n) GN factor and flat lx/lu
+            # ride straight into the kernel in the knot-major lane layout
+            # (no (nx, nx, N*B) curvature materialization, no unfolds)
+            Jw, lxf, luf = cost.gn_stage_factor(_fold(X[:N]), _fold(U), 0)
+            return fused_ric_gn(Amat, Bmat, lxf, luf, Jw, Vx0, Vxx0)
+
         if fold_t and not stationary_cost:
             # time-invariant non-stationary cost (e.g. EEReachCost): ONE
             # expansion call over (N*B) lanes — one FK/Jacobian trace for
@@ -445,13 +461,18 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig,
             Quu_inv = gj_inverse(Quu + reg_eye)
             k_t = -bmv(Quu_inv, Qu)
             K_t = -bmm(Quu_inv, Qux)
-            # simplified DDP value update (exact for the regularized gains
-            # to O(reg)): the K^T Quu k / K^T Qu cross terms collapse into
-            # Qux^T k — saves ~24% of the per-knot MACs; the fused Pallas
-            # sweep (ops/pallas/sweeps.riccati_pallas) uses the same form
+            # FULL value update (not the simplified Qux^T k form): the
+            # K^T Quu k / K^T Qu cross terms cancel the regularization to
+            # O(reg^2), which keeps this recursion consistent with the
+            # knot-sharded exact (unregularized) suffix reduce — the
+            # simplified form drifts at O(reg) and breaks that parity.
+            # The fused Pallas sweeps use the same full form (lockstep).
+            Kt_T = jnp.swapaxes(K_t, 0, 1)
             Qux_T = jnp.swapaxes(Qux, 0, 1)
-            Vx_n = Qx + bmv(Qux_T, k_t)
-            Vxx_n = Qxx + bmm(Qux_T, K_t)
+            Vx_n = (Qx + bmv(Kt_T, bmv(Quu, k_t)) + bmv(Kt_T, Qu)
+                    + bmv(Qux_T, k_t))
+            Vxx_n = (Qxx + bmm(Kt_T, bmm(Quu, K_t)) + bmm(Kt_T, Qux)
+                     + bmm(Qux_T, K_t))
             Vxx_n = 0.5 * (Vxx_n + jnp.swapaxes(Vxx_n, 0, 1))
             return (Vx_n, Vxx_n), (k_t, K_t)
 

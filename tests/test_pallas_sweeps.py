@@ -145,10 +145,13 @@ def _scan_riccati(n, N, reg, Amat, Bmat, lx, lu, lxx, luu, lux, Vx0, Vxx0):
         Quu_inv = gj_inverse(Quu + reg_eye)
         k_t = -bmv(Quu_inv, Qu)
         K_t = -bmm(Quu_inv, Qux)
-        # simplified DDP value update — lockstep with trajopt/ilqr.backward
+        # full DDP value update — lockstep with trajopt/ilqr.backward
+        Kt_T = jnp.swapaxes(K_t, 0, 1)
         Qux_T = jnp.swapaxes(Qux, 0, 1)
-        Vx_n = Qx + bmv(Qux_T, k_t)
-        Vxx_n = Qxx + bmm(Qux_T, K_t)
+        Vx_n = (Qx + bmv(Kt_T, bmv(Quu, k_t)) + bmv(Kt_T, Qu)
+                + bmv(Qux_T, k_t))
+        Vxx_n = (Qxx + bmm(Kt_T, bmm(Quu, K_t)) + bmm(Kt_T, Qux)
+                 + bmm(Qux_T, K_t))
         Vxx_n = 0.5 * (Vxx_n + jnp.swapaxes(Vxx_n, 0, 1))
         return (Vx_n, Vxx_n), (k_t, K_t)
 
@@ -200,6 +203,40 @@ def test_riccati_matches_scan(setup, stationary):
         ks_f, Ks_f = fused(Amat, Bmat, lx, lu, lxx, luu, lux, Vx0, Vxx0)
 
     ks_s, Ks_s = _scan_riccati(n, N, 1e-6, Amat, Bmat, lx, lu, lxx, luu,
+                               lux, Vx0, Vxx0)
+    np.testing.assert_allclose(np.asarray(ks_f), np.asarray(ks_s),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(Ks_f), np.asarray(Ks_s),
+                               atol=1e-10)
+
+
+def test_riccati_factored_matches_scan(setup):
+    """GN-factored fused sweep == scan with the dense curvature it encodes
+    (lxx = blkdiag(Jw^T Jw, qd_diag I), luu = u_diag I, lux = 0)."""
+    model, rng = setup
+    n, N, B, r = 3, 6, 4, 2
+    nx = 2 * n
+    qd_diag, u_diag, reg = 0.05, 1e-3, 1e-6
+    Amat, Bmat, lx, lu, Vx0, Vxx0 = _riccati_problem(rng, n, N, B)
+    Jw = jnp.asarray(rng.uniform(-1, 1, (r, n, N * B)))
+
+    fused = _ps.riccati_pallas_factored(n, N, reg, r, qd_diag, u_diag,
+                                        dtype=jnp.float64, interpret=True)
+    # flat knot-major lane layout (lane = t*B + b)
+    def flat(z):  # (N, d, B) -> (d, N*B)
+        return jnp.swapaxes(z, 0, 1).reshape(z.shape[1], -1)
+    ks_f, Ks_f = fused(Amat, Bmat, flat(lx), flat(lu), Jw, Vx0, Vxx0)
+
+    # dense equivalents for the scan mirror
+    Jt = jnp.moveaxis(Jw.reshape(r, n, N, B), 2, 0)      # (N, r, n, B)
+    JJ = jnp.einsum("trib,trjb->tijb", Jt, Jt)
+    diag_qd = qd_diag * jnp.eye(nx, dtype=jnp.float64).at[:n, :n].set(0.0)
+    lxx = jnp.zeros((N, nx, nx, B), jnp.float64)
+    lxx = lxx.at[:, :n, :n].set(JJ) + diag_qd[None, :, :, None]
+    luu = u_diag * jnp.broadcast_to(
+        jnp.eye(n, dtype=jnp.float64)[None, :, :, None], (N, n, n, B))
+    lux = jnp.zeros((N, n, nx, B), jnp.float64)
+    ks_s, Ks_s = _scan_riccati(n, N, reg, Amat, Bmat, lx, lu, lxx, luu,
                                lux, Vx0, Vxx0)
     np.testing.assert_allclose(np.asarray(ks_f), np.asarray(ks_s),
                                atol=1e-10)

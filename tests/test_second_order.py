@@ -142,3 +142,24 @@ def test_analytical_idsva_humanoid_scale():
         jax.jacfwd(jax.jacfwd(tau, 0), 0))(q[:, 0], qd[:, 0], qdd[:, 0]))
     scale = max(1.0, float(np.max(np.abs(d2q))))
     np.testing.assert_allclose(A[0, ..., 0], d2q, atol=1e-11 * scale)
+
+
+def test_idsva_so_dense_matches_analytical():
+    """Tensorized (dense masked contractions) IDSVA-SO == unrolled
+    analytical route, f64 (iiwa + the branched quadruped)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gridcodegenerator_tpu.models.model import build_model
+    from gridcodegenerator_tpu.models.zoo import load_robot
+    from gridcodegenerator_tpu.ops import so as _so
+
+    rng = np.random.default_rng(0)
+    for name in ("iiwa", "hyq"):
+        model = build_model(load_robot(name), dtype=jnp.float64)
+        n = model.n
+        q, qd, qdd = (jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+                      for _ in range(3))
+        a = _so.idsva_so_analytical(model, q, qd, qdd)
+        d = _so.idsva_so_dense(model, q, qd, qdd)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(a), atol=1e-12)
