@@ -24,7 +24,7 @@ ICI ("kp" axis), once per SOLVER ITERATION:
 Everything else in the solve (rollouts, line search, fd_du linearization)
 is collective-free by construction.
 
-Usage: python benchmarks/comm_model.py [--hlo-check] [--out SCALING_r03.json]
+Usage: python benchmarks/comm_model.py [--hlo-check] [--out SCALING_r{N}.json]
 """
 
 from __future__ import annotations
@@ -143,7 +143,7 @@ def hlo_collective_census(kp: int = 2, dp: int = 2):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(REPO, "SCALING_r03.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALING_r04.json"))
     ap.add_argument("--hlo-check", action="store_true")
     ap.add_argument("--t-solve-us", type=float, default=None,
                     help="measured single-chip step time (us) for the "
@@ -152,18 +152,25 @@ def main():
 
     # per-chip load of BASELINE config 5: atlas, N=16, 4096 scenarios/chip
     t_solve = args.t_solve_us
+    solves3 = None
     bench_src = None
     if t_solve is None:
-        for cand in ("BENCH_r03.json", "BENCH_r02.json"):
+        for rnd in range(9, 0, -1):
+            cand = f"BENCH_r{rnd:02d}.json"
             p = os.path.join(REPO, cand)
-            if os.path.exists(p):
-                with open(p) as f:
-                    b = json.load(f)
-                cfg5 = (b.get("configs", b) or {}).get("5", {})
-                if "step_ms" in cfg5:
-                    t_solve = cfg5["step_ms"] * 1e3
-                    bench_src = cand
-                    break
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                b = json.load(f)
+            if "parsed" in b:          # driver envelope {rc, tail, parsed}
+                b = b.get("parsed") or {}
+            cfgs = b.get("configs", {})
+            cfg5 = cfgs.get("5", {})
+            if "step_ms" in cfg5:
+                t_solve = cfg5["step_ms"] * 1e3
+                bench_src = cand
+                solves3 = cfgs.get("3", {}).get("solves_per_s")
+                break
     if t_solve is None:
         t_solve = 480e3   # round-2 measured atlas step (479.5 ms)
         bench_src = "fallback r2 measurement"
@@ -179,10 +186,11 @@ def main():
         n, nx, N, B_loc, iters, Dk=1, H=2, t_solve_us=t_solve)
     # iiwa MPC shape at kp=4 (latency-sensitive small-n case)
     rows["iiwa_N64_kp4_1host"] = predict(
-        7, 14, 64, 2048, 5, Dk=4, H=1, t_solve_us=1e6 / 10271.1 * 2048 / 1)
+        7, 14, 64, 2048, 5, Dk=4, H=1,
+        t_solve_us=1e6 / (solves3 or 10271.1) * 2048)
 
     out = {
-        "round": 3,
+        "round": 4,
         "note": ("Analytic communication model (no >=2-host hardware in "
                  "this environment). Every byte each collective moves per "
                  "scenario-tree MPC step, against conservative sustained "

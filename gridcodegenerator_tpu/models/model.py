@@ -44,6 +44,14 @@ class RobotModel:
                               # ≙ the reference baking joint limits into the
                               # device blob (_topology_helpers.py:732-778)
     velocity_limit: jax.Array  # (num_vel,) max |qd| (+inf where unset)
+    base_inertia: jax.Array   # (6, 6) fixed-base link inertia — baked into
+                              # the constant pytree when build_model is
+                              # called with include_base_inertia=True,
+                              # zeros otherwise; ≙ the reference's
+                              # include_base_inertia XI-blob option
+                              # ("X[0..N], Ibase, I[0..N]",
+                              # _topology_helpers.py:27-33,
+                              # GRiDCodeGenerator.py:309)
     Ttree: jax.Array          # (n, 4, 4) fixed homogeneous transforms (FK)
     Tfixed: jax.Array         # (n_fixed, 4, 4) fixed-joint target frames
     subtree_mask: jax.Array   # (n, nv) 0/1 over velocity columns (Minv sparsity)
@@ -79,7 +87,8 @@ class RobotModel:
         return tuple(sorted(set(self.ancestors[i]) | set(self.subtree[i])))
 
 
-def build_model(topo: RobotTopology, dtype=jnp.float32) -> RobotModel:
+def build_model(topo: RobotTopology, dtype=jnp.float32,
+                include_base_inertia: bool = False) -> RobotModel:
     """Bake a RobotTopology into a device-resident RobotModel."""
     n = topo.get_num_joints()
     Xtree = np.stack([topo.joints[i].Xtree for i in range(n)])
@@ -116,6 +125,9 @@ def build_model(topo: RobotTopology, dtype=jnp.float32) -> RobotModel:
         joint_limits=jnp.asarray(limits, dtype),
         effort_limit=jnp.asarray(topo.get_effort_limits(), dtype),
         velocity_limit=jnp.asarray(topo.get_velocity_limits(), dtype),
+        base_inertia=jnp.asarray(
+            topo.get_Imats_ordered_by_id()[0] if include_base_inertia
+            else np.zeros((6, 6)), dtype),
         Ttree=jnp.asarray(Ttree, dtype),
         Tfixed=jnp.asarray(Tfixed, dtype),
         subtree_mask=jnp.asarray(sub_mask, dtype),

@@ -237,6 +237,38 @@ def eepos(model: RobotModel, q, targets: Optional[Sequence[str]] = None,
     return jnp.concatenate(poses, axis=0)
 
 
+def eexyz(model: RobotModel, q, targets: Optional[Sequence[str]] = None):
+    """Batched EE xyz positions only: q (num_pos, B) -> (num_ees*3, B).
+
+    The rpy-free slice of :func:`eepos` — no atan2, so it traces inside
+    Mosaic kernels (the in-kernel line-search cost path; atan2 has no
+    Pallas TPU lowering and the poly variant would be wasted work when
+    only the position error is needed)."""
+    pl = pos_layout(model)
+    B = q.shape[-1]
+    Ts = {}
+    needed = set()
+    chains = ee_chains(model, targets)
+    for chain, _ in chains:
+        needed.update(chain)
+    for i in sorted(needed):
+        off, k = pl[i]
+        Ts[i] = _joint_T_lanes(model, i, q[off] if k == 1 else q[off:off + k])
+    xyzs = []
+    for chain, fid in chains:
+        if chain:
+            T = Ts[chain[0]]
+            for j in chain[1:]:
+                T = _mm44(T, Ts[j])
+            if fid is not None:
+                T = _mm44(T, model.Tfixed[fid])
+        else:
+            T = jnp.broadcast_to(
+                model.Tfixed[fid][:, :, None], (4, 4, B))
+        xyzs.append(T[:3, 3])
+    return jnp.concatenate(xyzs, axis=0)
+
+
 def deepos(model: RobotModel, q, targets: Optional[Sequence[str]] = None,
            poly_atan2: bool = False):
     """Batched EE pose Jacobian: (num_ees*6, num_pos, B).

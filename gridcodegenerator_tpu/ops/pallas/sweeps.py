@@ -429,7 +429,9 @@ def linesearch_rollout_pallas(model: RobotModel, N: int, dt: float,
                               u_min: Optional[float] = None,
                               u_max: Optional[float] = None,
                               block_b: int = ROLLOUT_BLOCK_B,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              cost_consts=(), stage_cost=None,
+                              terminal_cost=None):
     """Fused line-search rollout over ALL step sizes with in-kernel widening:
 
     (x0 (nx,B), Uref (N,n,B), Xref (N,nx,B), k (N,n,B), K (N,n,nx,B))
@@ -441,6 +443,15 @@ def linesearch_rollout_pallas(model: RobotModel, N: int, dt: float,
     Xref/K/Uref never materialize in HBM (they cost ~6x the input footprint
     per iteration when widened by XLA ``tile`` ops). Output lane order is
     alpha-major ([a0*B | a1*B | ...]), matching ``ilqr.forward``'s widen().
+
+    In-kernel cost: when ``stage_cost(consts, x, u) -> (bb,)`` and
+    ``terminal_cost(consts, x) -> (bb,)`` are given (see
+    ``trajopt/cost`` ``pallas_cost`` hooks), the per-lane total cost
+    accumulates inside the rollout loop and returns as a third output
+    (1, na*B) — the widened trajectory is never re-read by a separate
+    cost/FK pass over (na*N*B) lanes, which otherwise costs more than the
+    rollout itself at MPC sizes. ``cost_consts`` are the array leaves the
+    closures read (Pallas rejects captured array constants).
     """
     _check(model)
     n = model.num_vel
@@ -448,8 +459,11 @@ def linesearch_rollout_pallas(model: RobotModel, N: int, dt: float,
     na = len(alphas)
     bconsts, clampf = _make_clamp(u_min, u_max, model.Imat.dtype)
     alphas_arr = jnp.asarray(alphas, model.Imat.dtype)
+    with_cost = stage_cost is not None
+    cost_consts = tuple(cost_consts)
+    n_bc = len(bconsts)
 
-    model_consts = _model_consts(model) + bconsts
+    model_consts = _model_consts(model) + bconsts + cost_consts
     in_shapes = [(nx,), (N, n), (N, nx), (N, n), (N, n, nx)]
     out_shapes = [(N, nx), (N, n)]
 
@@ -484,40 +498,57 @@ def linesearch_rollout_pallas(model: RobotModel, N: int, dt: float,
         alpha = refs[len(model_consts)][pl.program_id(0)]
         x0_ref, Uref_ref, Xref_ref, k_ref, K_ref = refs[
             len(model_consts) + 1:len(model_consts) + 6]
-        X_ref, U_ref = refs[len(model_consts) + 6:]
+        out_refs = refs[len(model_consts) + 6:]
+        X_ref, U_ref = out_refs[0], out_refs[1]
         m = _rebind(model, cvals[:4])
-        bcv = cvals[4:]
+        bcv = cvals[4:4 + n_bc]
+        ccv = cvals[4 + n_bc:]
 
-        def step(t, x):
+        def step(t, carry):
+            x, acc = carry
             du = (alpha * _ld(k_ref, t)
                   + bmv(_ld(K_ref, t), x - _ld(Xref_ref, t)))
             u = _ld(Uref_ref, t) + du
             if clampf is not None:
                 u = clampf(u, bcv)
+            if with_cost:
+                acc = acc + stage_cost(ccv, x, u)
             xn = _euler_step(m, x, u, dt, gravity)
             _st(X_ref, t, xn)
             _st(U_ref, t, u)
-            return xn
+            return xn, acc
 
-        jax.lax.fori_loop(0, N, step, x0_ref[...])
+        x0v = x0_ref[...]
+        acc0 = jnp.zeros_like(x0v[0])
+        xf, acc = jax.lax.fori_loop(0, N, step, (x0v, acc0))
+        if with_cost:
+            acc = acc + terminal_cost(ccv, xf)
+            out_refs[2][...] = acc[None]
 
     def call(x0, Uref, Xref, k, K):
         B = x0.shape[-1]
         assert B % block_b == 0, (B, block_b)
         nb = B // block_b
+        shapes = list(out_shapes)
+        specs = [out_spec(s, nb) for s in shapes]
+        osh = [jax.ShapeDtypeStruct(s + (na * B,), model.Imat.dtype)
+               for s in shapes]
+        if with_cost:
+            specs.append(out_spec((1,), nb))
+            osh.append(jax.ShapeDtypeStruct((1, na * B), model.Imat.dtype))
         out = pl.pallas_call(
             kernel,
             grid=(na, nb),
             in_specs=(const_specs + [alpha_spec]
                       + [in_spec(s) for s in in_shapes]),
-            out_specs=tuple(out_spec(s, nb) for s in out_shapes),
-            out_shape=tuple(
-                jax.ShapeDtypeStruct(s + (na * B,), model.Imat.dtype)
-                for s in out_shapes),
+            out_specs=tuple(specs),
+            out_shape=tuple(osh),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=VMEM_LIMIT),
         )(*model_consts, alphas_arr, x0, Uref, Xref, k, K)
+        if with_cost:
+            return out[0], out[1], out[2][0]
         return out
 
     return call

@@ -111,6 +111,43 @@ class QuadCost(CostModel):
         lxx = jnp.diag(self.Qf)[:, :, None] + jnp.zeros((1, 1, B), x.dtype)
         return self.terminal(x), self.Qf[:, None] * dx, lxx
 
+    # -- in-kernel cost hooks (fused line-search rollout) ------------------
+    # (consts, stage_fn, terminal_fn): arrays ride as kernel inputs
+    # (Pallas rejects captured array constants); closures are jnp-traceable
+    # on lane-major (d, bb) blocks inside Mosaic. All leading-axis sums are
+    # UNROLLED row-by-row — Mosaic rejects sublane reductions over offset
+    # slices, and the row counts are tiny static ints (nx, n, 3).
+    def pallas_cost(self):
+        if not self.time_invariant:
+            return None
+        xg = jnp.asarray(self.x_goal)[:, None]
+        consts = (jnp.asarray(self.Q)[:, None], jnp.asarray(self.R)[:, None],
+                  jnp.asarray(self.Qf)[:, None], xg)
+        nx = int(np.shape(self.Q)[0])
+        nu = int(np.shape(self.R)[0])
+
+        def stage(cv, x, u):
+            Q, R, _, xg_ = cv
+            acc = None
+            for i in range(nx):
+                d = x[i] - xg_[i]
+                t = Q[i] * d * d
+                acc = t if acc is None else acc + t
+            for i in range(nu):
+                acc = acc + R[i] * u[i] * u[i]
+            return 0.5 * acc
+
+        def term(cv, x):
+            _, _, Qf, xg_ = cv
+            acc = None
+            for i in range(nx):
+                d = x[i] - xg_[i]
+                t = Qf[i] * d * d
+                acc = t if acc is None else acc + t
+            return 0.5 * acc
+
+        return consts, stage, term
+
 
 @dataclasses.dataclass
 class EEReachCost(CostModel):
@@ -203,6 +240,51 @@ class EEReachCost(CostModel):
         lu = self.w_u * u
         Jw = jnp.sqrt(jnp.asarray(self.w_pos, x.dtype)) * J
         return Jw, lx, lu
+
+    # -- in-kernel cost hooks (fused line-search rollout) ------------------
+    def pallas_cost(self):
+        if not self.time_invariant:
+            return None
+        import dataclasses as _dc
+        m = self.model
+        g = jnp.asarray(self.goal_xyz)[:, None]
+        consts = (m.Ttree, m.Tfixed, g)
+        n = m.num_vel
+        w_pos, w_pos_f = self.w_pos, self.w_pos_f
+        w_vel, w_u = self.w_vel, self.w_u
+
+        kx = 3 * self.ee_index
+
+        def _sq(cv, x):
+            # unrolled row sums (Mosaic rejects sublane reductions over
+            # offset slices; rows are tiny static counts)
+            mm = _dc.replace(m, Ttree=cv[0], Tfixed=cv[1])
+            xyz = _eepose.eexyz(mm, x[:n])  # position-only FK: no atan2
+            e2 = None
+            for i in range(3):
+                d = xyz[kx + i] - cv[2][i]
+                t = d * d
+                e2 = t if e2 is None else e2 + t
+            v2 = None
+            for i in range(n):
+                r = x[n + i]
+                t = r * r
+                v2 = t if v2 is None else v2 + t
+            return e2, v2
+
+        def stage(cv, x, u):
+            e2, v2 = _sq(cv, x)
+            u2 = None
+            for i in range(n):
+                t = u[i] * u[i]
+                u2 = t if u2 is None else u2 + t
+            return 0.5 * (w_pos * e2 + w_vel * v2 + w_u * u2)
+
+        def term(cv, x):
+            e2, v2 = _sq(cv, x)
+            return 0.5 * (w_pos_f * e2 + w_vel * v2)
+
+        return consts, stage, term
 
     def terminal_expansion(self, x):
         lx, lxx = self._expand(x, self.w_pos_f)

@@ -174,6 +174,7 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig,
     blk = cfg.pallas_block
     fused_fd_du = fused_aba = fused_so = None
     fused_roll = fused_fb = fused_ric = fused_ric_gn = None
+    fb_with_cost = False
     so_blk = roll_blk = ric_blk = None
     stationary_cost = getattr(cost, "stationary_curvature", False)
     fold_t = getattr(cost, "time_invariant", False)
@@ -191,9 +192,19 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig,
             fused_roll = _ps.rollout_pallas(
                 model, N, dt, cfg.gravity, u_lo, u_hi,
                 block_b=roll_blk)
+            # in-kernel cost accumulation (see sweeps.linesearch_rollout_
+            # pallas): the widened (na*N*B)-lane trajectory is never
+            # re-read by a separate cost/FK pass
+            pc = getattr(cost, "pallas_cost", lambda: None)()
+            fb_kw = {}
+            if pc is not None:
+                ccv, _stage, _term = pc
+                fb_kw = dict(cost_consts=ccv, stage_cost=_stage,
+                             terminal_cost=_term)
             fused_fb = _ps.linesearch_rollout_pallas(
                 model, N, dt, cfg.gravity, cfg.alphas, u_lo, u_hi,
-                block_b=roll_blk)
+                block_b=roll_blk, **fb_kw)
+            fb_with_cost = bool(fb_kw)
             if (not cfg.use_second_order and not cfg.parallel_riccati
                     and cfg.knot_axis is None
                     and _ps.riccati_fits(n, N, stationary_cost)):
@@ -493,6 +504,19 @@ def make_ilqr(model: RobotModel, cost: CostModel, cfg: ILQRConfig,
             # one fused kernel over all step sizes; the alpha-widening
             # happens inside the kernel grid, so the widened Xref/K tiles
             # never materialize in HBM
+            if fb_with_cost:
+                Xs, Uw, cw_flat = fused_fb(X[0], U, X[:N], ks, Ks)
+                Xw = jnp.concatenate([widen(X[0])[None], Xs], axis=0)
+                cw = cw_flat.reshape(na, B)
+                best = jnp.argmin(cw, axis=0)
+                XwA = Xw.reshape(N + 1, nx, na, B)
+                UwA = Uw.reshape(N, n, na, B)
+                idx = best[None, None, None, :]
+                Xb = jnp.take_along_axis(XwA, idx, axis=2)[:, :, 0]
+                Ub = jnp.take_along_axis(UwA, idx, axis=2)[:, :, 0]
+                dtype = X.dtype
+                return (Xb.astype(dtype), Ub.astype(dtype),
+                        jnp.min(cw, axis=0))
             Xs, Uw = fused_fb(X[0], U, X[:N], ks, Ks)
             Xw = jnp.concatenate([widen(X[0])[None], Xs], axis=0)
         else:

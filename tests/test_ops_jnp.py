@@ -262,3 +262,22 @@ def test_packed_input_helpers_match():
                                np.asarray(g.fd_du(q, qd, u)), atol=0)
     np.testing.assert_allclose(np.asarray(g.fdsva_so_packed(packed)),
                                np.asarray(g.fdsva_so(q, qd, u)), atol=0)
+
+
+def test_include_base_inertia_option():
+    """build_model(include_base_inertia=True) bakes the base-link spatial
+    inertia into the constant pytree (zeros otherwise) — the reference's
+    XI-blob option ("X[0..N], Ibase, I[0..N]",
+    /root/reference/helpers/_topology_helpers.py:27-33,
+    GRiDCodeGenerator.py:309)."""
+    import numpy as np
+
+    from gridcodegenerator_tpu.models.model import build_model
+    from gridcodegenerator_tpu.models.zoo import load_robot
+
+    topo = load_robot("iiwa")
+    m = build_model(topo, include_base_inertia=True)
+    np.testing.assert_allclose(np.asarray(m.base_inertia),
+                               topo.get_Imats_ordered_by_id()[0], atol=1e-6)
+    assert float(np.abs(np.asarray(
+        build_model(topo).base_inertia)).max()) == 0.0

@@ -263,3 +263,47 @@ def test_ilqr_fused_sweeps_flag_off_matches_default_cpu():
                    ILQRConfig(N=8, iters=2, fused_sweeps=False))(x0, U0)
     np.testing.assert_allclose(np.asarray(r1.cost), np.asarray(r2.cost),
                                atol=1e-12)
+
+
+@pytest.mark.parametrize("cost_kind", ["quad", "ee_reach"])
+def test_linesearch_in_kernel_cost_matches_total_cost(setup, cost_kind):
+    """Fused line-search with in-kernel cost accumulation == the separate
+    total_cost pass over the widened trajectory (interpret mode, f64)."""
+    model, rng = setup
+    from gridcodegenerator_tpu.ops import eepose as _eepose
+    from gridcodegenerator_tpu.trajopt.cost import EEReachCost, QuadCost
+
+    n = model.num_vel
+    nx = 2 * n
+    N, B = 5, 4
+    alphas = (1.0, 0.25)
+    na = len(alphas)
+    if cost_kind == "quad":
+        cost = QuadCost(Q=jnp.full(nx, 0.1), R=jnp.full(n, 1e-2),
+                        Qf=jnp.full(nx, 5.0),
+                        x_goal=jnp.zeros(nx).at[0].set(0.4))
+    else:
+        goal = _eepose.eepos(model, jnp.full((n, 1), 0.3,
+                                             jnp.float64))[:3, 0]
+        cost = EEReachCost(model=model, goal_xyz=goal, w_pos=0.5,
+                           w_pos_f=50.0)
+    ccv, stage_fn, term_fn = cost.pallas_cost()
+    fb = _ps.linesearch_rollout_pallas(
+        model, N, DT, GRAV, alphas, block_b=B, interpret=True,
+        cost_consts=ccv, stage_cost=stage_fn, terminal_cost=term_fn)
+    x0 = jnp.asarray(rng.uniform(-0.2, 0.2, (nx, B)))
+    U = jnp.asarray(rng.uniform(-0.5, 0.5, (N, n, B)))
+    Xref = jnp.asarray(rng.uniform(-0.2, 0.2, (N, nx, B)))
+    ks = jnp.asarray(0.1 * rng.uniform(-1, 1, (N, n, B)))
+    Ks = jnp.asarray(0.1 * rng.uniform(-1, 1, (N, n, nx, B)))
+    Xw, Uw, cw = fb(x0, U, Xref, ks, Ks)
+
+    def widen(z):
+        return jnp.tile(z, (1,) * (z.ndim - 1) + (na,))
+
+    Xfull = jnp.concatenate([widen(x0)[None], Xw], axis=0)
+    c_ref = cost.terminal(Xfull[N])
+    for t in range(N):
+        c_ref = c_ref + cost.stage(Xfull[t], Uw[t], t)
+    np.testing.assert_allclose(np.asarray(cw), np.asarray(c_ref),
+                               rtol=1e-10, atol=1e-12)
