@@ -1,0 +1,98 @@
+"""Assemble BENCH_kernels_r{N}.json from per-robot suite runs.
+
+The per-kernel artifact the round judge reads: one row per (robot, algo,
+tier) with measured latency and the hand-counted roofline legs from
+``benchmarks/flops.py`` (never XLA cost analysis — see suite.py). Fixed-
+base robots get both the fused-Pallas and XLA tiers; floating-base robots
+get the designated XLA tier (the fused tier auto-disables there,
+``api.py``), which closes the "no floating bench rows" gap — the
+reference's generated kernel tier serves floating ID/Minv/FD/grads
+(``/root/reference/GRiDCodeGenerator.py:418-419``).
+
+Run on the TPU:  python benchmarks/kernels_capture.py --round 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+FIXED = ("iiwa14", "hyq", "atlas", "gym_humanoid")
+FLOATING = ("iiwa_floating", "hyq_floating")
+
+
+def run_suite(robot: str, batch: int, no_pallas: bool):
+    cmd = [sys.executable, os.path.join(REPO, "benchmarks", "suite.py"),
+           robot, "--batch", str(batch)]
+    if no_pallas:
+        cmd.append("--no-pallas")
+    env = dict(os.environ)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=REPO, check=False)
+    rows = []
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        rec = json.loads(line)
+        if "algo" in rec:
+            rows.append(rec)
+    if out.returncode != 0:
+        rows.append({"robot": robot, "error": out.stderr[-300:]})
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--robots", default=None,
+                    help="comma list override (floating names get XLA only)")
+    args = ap.parse_args()
+
+    if args.robots:
+        names = args.robots.split(",")
+        fixed = [r for r in names if "floating" not in r]
+        floating = [r for r in names if "floating" in r]
+    else:
+        fixed, floating = list(FIXED), list(FLOATING)
+
+    rows = []
+    for r in fixed:
+        rows += run_suite(r, args.batch, no_pallas=False)
+        print(f"[{r}] {sum(x.get('robot') == r for x in rows)} rows",
+              flush=True)
+    for r in floating:
+        rows += run_suite(r, args.batch, no_pallas=True)
+        print(f"[{r}] {sum(x.get('robot') == r for x in rows)} rows",
+              flush=True)
+
+    over = [x for x in rows if x.get("sol_pct", 0) > 100]
+    out = {
+        "round": args.round,
+        "hardware": "TPU v5e (1 chip, axon tunnel)",
+        "harness": ("dynamic-count in-jit repeat (fori_loop with traced "
+                    "bound) — fixed remote-dispatch latency cancelled, "
+                    "below-resolution deltas flagged"),
+        "batch": args.batch,
+        "roofline": ("max(HBM bytes/819 GBps, hand-counted essential FLOPs "
+                     "(benchmarks/flops.py)/3.9 f32 VPU TFLOPs); sol_pct = "
+                     "roofline/measured"),
+        "floating_tier": "xla (fused tier auto-disables for floating base)",
+        "rows_over_100pct": len(over),
+        "rows": rows,
+    }
+    path = os.path.join(REPO, f"BENCH_kernels_r{args.round:02d}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}: {len(rows)} rows, {len(over)} over 100% "
+          f"speed-of-light", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,7 @@ def main():
     from gridcodegenerator_tpu.models.zoo import load_robot
     from gridcodegenerator_tpu.ops import so as _so
     from gridcodegenerator_tpu.ops.pallas import kernels as _pk
-    from gridcodegenerator_tpu.utils.timing import time_kernel
+    from gridcodegenerator_tpu.utils.timing import time_kernel_ex
 
     B = args.batch
     rng = np.random.default_rng(0)
@@ -65,13 +65,17 @@ def main():
         outs, times = {}, {}
         for rname, fn in routes.items():
             try:
-                sec = time_kernel(fn, (q, qd, qdd), iters=args.iters)
+                tr = time_kernel_ex(fn, (q, qd, qdd), iters=args.iters)
+                sec = tr.seconds
                 outs[rname] = np.asarray(fn(q, qd, qdd))
                 times[rname] = sec
-                print(json.dumps({
+                rec = {
                     "robot": name, "algo": "idsva_so", "route": rname,
                     "us_per_call": round(sec * 1e6, 2),
-                    "us_per_sample": round(sec * 1e6 / B, 4)}), flush=True)
+                    "us_per_sample": round(sec * 1e6 / B, 4)}
+                if tr.below_resolution:
+                    rec["below_resolution"] = True
+                print(json.dumps(rec), flush=True)
             except Exception as e:  # noqa: BLE001
                 print(json.dumps({"robot": name, "algo": "idsva_so",
                                   "route": rname, "error": str(e)[:160]}),

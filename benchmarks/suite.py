@@ -48,7 +48,7 @@ def main():
     import numpy as np
 
     from gridcodegenerator_tpu.api import GRiD
-    from gridcodegenerator_tpu.utils.timing import time_kernel
+    from gridcodegenerator_tpu.utils.timing import time_kernel_ex
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -82,7 +82,9 @@ def main():
         for name in wanted:
             fn, a = algos[name]
             try:
-                sec = time_kernel(lambda *xs: fn(*xs), a, iters=args.iters)
+                tr = time_kernel_ex(lambda *xs: fn(*xs), a,
+                                    iters=args.iters)
+                sec = max(tr.seconds, 1e-9)
             except Exception as e:  # noqa: BLE001 — report and continue
                 print(json.dumps({"algo": name, "tier": tier,
                                   "error": str(e)[:200]}), flush=True)
@@ -93,6 +95,8 @@ def main():
                 "us_per_sample": round(sec * 1e6 / B, 4),
                 "calls_per_s": round(1.0 / sec, 1),
             }
+            if tr.below_resolution:
+                rec["below_resolution"] = True
             # --- roofline legs ------------------------------------------
             # memory leg: essential HBM traffic = inputs + outputs once
             # (the fused-kernel design goal: everything else VMEM-resident,

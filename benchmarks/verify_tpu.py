@@ -1,0 +1,137 @@
+"""On-chip tier parity sweep -> VERIFY_TPU_r{N}.md (run on the real chip)."""
+import numpy as np, jax, jax.numpy as jnp, json
+
+from gridcodegenerator_tpu.models.model import build_model
+from gridcodegenerator_tpu.models.zoo import load_robot
+from gridcodegenerator_tpu.ops.aba import aba
+from gridcodegenerator_tpu.ops.spatial import bmv, bmm
+from gridcodegenerator_tpu.ops.linalg import gj_inverse
+from gridcodegenerator_tpu.ops.pallas import sweeps as _ps
+
+def rel(a, b):
+    import jax.numpy as _j
+    return float(_j.max(_j.abs(a - b) / (_j.abs(b) + 1.0)))
+
+out = {}
+N, B, DT, GRAV = 8, 256, 0.005, -9.81
+f32 = jnp.float32
+model = build_model(load_robot("iiwa14"), dtype=f32)  # vendor effort limits
+n = model.n; nx = 2*n
+eff = np.asarray(model.effort_limit, np.float32).reshape(-1, 1)
+u_lo, u_hi = -eff, eff
+rng = np.random.default_rng(0)
+x0 = jnp.asarray(rng.uniform(-0.3, 0.3, (nx, B)), f32)
+U = jnp.asarray(rng.uniform(-45, 45, (N, n, B)), f32)  # clamps the 40 Nm joints
+
+# --- fused rollout vs XLA scan (array-valued effort clamp) ---------------
+roll = _ps.rollout_pallas(model, N, DT, GRAV, u_lo, u_hi, block_b=256)
+Xf = jax.block_until_ready(roll(x0, U))
+def step(x, u):
+    u = jnp.clip(u, u_lo, u_hi)
+    q, qd = x[:n], x[n:]
+    qdn = qd + DT * aba(model, q, qd, u, GRAV)
+    xn = jnp.concatenate([q + DT*qdn, qdn], axis=0)
+    return xn, xn
+_, Xs = jax.jit(lambda x0_, U_: jax.lax.scan(step, x0_, U_))(x0, U)
+out["rollout_clamped"] = float(jnp.max(jnp.abs(Xf - Xs)))
+
+# --- fused line-search rollout vs scan (alpha widening + clamp) ----------
+alphas = (1.0, 0.5, 0.1)
+ks = jnp.asarray(0.5*rng.uniform(-1, 1, (N, n, B)), f32)
+Ks = jnp.asarray(0.1*rng.uniform(-1, 1, (N, n, nx, B)), f32)
+fb = _ps.linesearch_rollout_pallas(model, N, DT, GRAV, alphas, u_lo, u_hi, block_b=256)
+Xw_f, Uw_f = jax.block_until_ready(fb(x0, U, Xs[:N], ks, Ks))
+na = len(alphas)
+def widen(z): return jnp.tile(z, (1,)*(z.ndim-1) + (na,))
+alpha_w = jnp.repeat(jnp.asarray(alphas, f32), B)
+def fstep(x, inp):
+    xr, ur, k_t, K_t = inp
+    u = jnp.clip(widen(ur) + alpha_w*widen(k_t) + bmv(widen(K_t), x - widen(xr)), u_lo, u_hi)
+    q, qd = x[:n], x[n:]
+    qdn = qd + DT * aba(model, q, qd, u, GRAV)
+    xn = jnp.concatenate([q + DT*qdn, qdn], axis=0)
+    return xn, (xn, u)
+_, (Xw_s, Uw_s) = jax.jit(lambda: jax.lax.scan(fstep, widen(x0), (Xs[:N], U, ks, Ks)))()
+out["linesearch_clamped_X_rel"] = rel(Xw_f, Xw_s)
+out["linesearch_clamped_U_rel"] = rel(Uw_f, Uw_s)
+
+# --- streamed riccati (stationary + nonstationary) vs scan ----------------
+def scan_ric(reg, Amat, Bmat, lx, lu, lxx, luu, lux, Vx0, Vxx0):
+    def body(carry, inp):
+        Vx, Vxx = carry
+        A, Bm, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
+        At = jnp.swapaxes(A, 0, 1); Bt = jnp.swapaxes(Bm, 0, 1)
+        Qx = lx_t + bmv(At, Vx); Qu = lu_t + bmv(Bt, Vx)
+        Qxx = lxx_t + bmm(bmm(At, Vxx), A)
+        Qux = lux_t + bmm(bmm(Bt, Vxx), A)
+        Quu = luu_t + bmm(bmm(Bt, Vxx), Bm)
+        Qi = gj_inverse(Quu + reg*jnp.eye(n, dtype=Quu.dtype)[:, :, None])
+        k_t = -bmv(Qi, Qu); K_t = -bmm(Qi, Qux)
+        KtT = jnp.swapaxes(K_t, 0, 1); QuxT = jnp.swapaxes(Qux, 0, 1)
+        Vx_n = Qx + bmv(KtT, bmv(Quu, k_t)) + bmv(KtT, Qu) + bmv(QuxT, k_t)
+        Vxx_n = Qxx + bmm(KtT, bmm(Quu, K_t)) + bmm(KtT, Qux) + bmm(QuxT, K_t)
+        Vxx_n = 0.5*(Vxx_n + jnp.swapaxes(Vxx_n, 0, 1))
+        return (Vx_n, Vxx_n), (k_t, K_t)
+    _, (ks_, Ks_) = jax.lax.scan(body, (Vx0, Vxx0),
+                                 (Amat, Bmat, lx, lu, lxx, luu, lux), reverse=True)
+    return ks_, Ks_
+
+Amat = jnp.asarray(np.eye(nx)[None,:,:,None] + 0.05*rng.uniform(-1,1,(N,nx,nx,B)), f32)
+Bmat = jnp.asarray(0.1*rng.uniform(-1,1,(N,nx,n,B)), f32)
+lx = jnp.asarray(rng.uniform(-1,1,(N,nx,B)), f32)
+lu = jnp.asarray(rng.uniform(-1,1,(N,n,B)), f32)
+lxx1 = jnp.asarray(np.tile(np.diag(rng.uniform(0.5,1,nx))[:,:,None],(1,1,B)), f32)
+luu1 = jnp.asarray(np.tile(np.diag(rng.uniform(0.1,1,n))[:,:,None],(1,1,B)), f32)
+lux1 = jnp.zeros((n,nx,B), f32)
+Vx0 = jnp.asarray(rng.uniform(-1,1,(nx,B)), f32)
+Vxx0 = jnp.asarray(np.tile(np.diag(rng.uniform(0.5,2,nx))[:,:,None],(1,1,B)), f32)
+ric_s = _ps.riccati_pallas(n, N, 1e-6, dtype=f32, stationary_curvature=True)
+kf, Kf = jax.block_until_ready(ric_s(Amat, Bmat, lx, lu, lxx1, luu1, lux1, Vx0, Vxx0))
+T = lambda z: jnp.tile(z[None], (N,1,1,1))
+ks_ref, Ks_ref = jax.jit(lambda: scan_ric(1e-6, Amat, Bmat, lx, lu, T(lxx1), T(luu1), T(lux1), Vx0, Vxx0))()
+out["riccati_stationary_k"] = float(jnp.max(jnp.abs(kf - ks_ref)))
+out["riccati_stationary_K"] = float(jnp.max(jnp.abs(Kf - Ks_ref)))
+
+lxxN = jnp.asarray(np.tile(np.diag(rng.uniform(0.5,1,nx))[None,:,:,None],(N,1,1,B))
+                   + 0.01*rng.uniform(-1,1,(N,nx,nx,B)), f32)
+lxxN = 0.5*(lxxN + jnp.swapaxes(lxxN,1,2))
+luuN = T(luu1); luxN = jnp.asarray(0.1*rng.uniform(-1,1,(N,n,nx,B)), f32)
+ric_n = _ps.riccati_pallas(n, N, 1e-6, dtype=f32, stationary_curvature=False)
+kf2, Kf2 = jax.block_until_ready(ric_n(Amat, Bmat, lx, lu, lxxN, luuN, luxN, Vx0, Vxx0))
+ks2, Ks2 = jax.jit(lambda: scan_ric(1e-6, Amat, Bmat, lx, lu, lxxN, luuN, luxN, Vx0, Vxx0))()
+out["riccati_nonstationary_k"] = float(jnp.max(jnp.abs(kf2 - ks2)))
+out["riccati_nonstationary_K"] = float(jnp.max(jnp.abs(Kf2 - Ks2)))
+
+# --- factored riccati vs scan with the dense curvature it encodes --------
+r = 3; qd_d, u_d = 0.01, 1e-4
+Jw = jnp.asarray(rng.uniform(-1,1,(r,n,N*B)), f32)
+fac = _ps.riccati_pallas_factored(n, N, 1e-6, r, qd_d, u_d, dtype=f32)
+flat = lambda z: jnp.swapaxes(z,0,1).reshape(z.shape[1], -1)
+kf3, Kf3 = jax.block_until_ready(fac(Amat, Bmat, flat(lx), flat(lu), Jw, Vx0, Vxx0))
+Jt = jnp.moveaxis(Jw.reshape(r,n,N,B), 2, 0)
+JJ = jnp.einsum("trib,trjb->tijb", Jt, Jt, precision="highest")
+dq = qd_d*jnp.eye(nx, dtype=f32).at[:n,:n].set(0.0)
+lxxF = jnp.zeros((N,nx,nx,B), f32).at[:,:n,:n].set(JJ) + dq[None,:,:,None]
+luuF = u_d*jnp.broadcast_to(jnp.eye(n,dtype=f32)[None,:,:,None],(N,n,n,B))
+luxF = jnp.zeros((N,n,nx,B), f32)
+ks3, Ks3 = jax.jit(lambda: scan_ric(1e-6, Amat, Bmat, lx, lu, lxxF, luuF, luxF, Vx0, Vxx0))()
+out["riccati_factored_k_rel"] = rel(kf3, ks3)
+out["riccati_factored_K_rel"] = rel(Kf3, Ks3)
+
+# --- in-kernel cost accumulation (EEReach) vs separate total_cost ---------
+from gridcodegenerator_tpu.ops import eepose as _eepose
+from gridcodegenerator_tpu.trajopt.cost import EEReachCost
+goal = _eepose.eepos(model, jnp.full((n,1), 0.3, f32))[:3, 0]
+cost = EEReachCost(model=model, goal_xyz=goal, w_pos=0.5, w_pos_f=50.0)
+ccv, stage_fn, term_fn = cost.pallas_cost()
+fbc = _ps.linesearch_rollout_pallas(model, N, DT, GRAV, alphas, u_lo, u_hi,
+                                    block_b=256, cost_consts=ccv,
+                                    stage_cost=stage_fn, terminal_cost=term_fn)
+Xw2, Uw2, cw2 = jax.block_until_ready(fbc(x0, U, Xs[:N], ks, Ks))
+Xfull = jnp.concatenate([widen(x0)[None], Xw2], axis=0)
+c_ref = cost.terminal(Xfull[N])
+for t in range(N):
+    c_ref = c_ref + cost.stage(Xfull[t], Uw2[t], t)
+out["linesearch_inkernel_cost_rel"] = float(
+    jnp.max(jnp.abs(cw2 - c_ref) / (jnp.abs(c_ref) + 1e-6)))
+print(json.dumps(out, indent=1))

@@ -44,11 +44,14 @@ def repeat_inside_jit(fn: Callable, args: Sequence) -> Callable:
         def body(_i, carry):
             x0, _prev = carry
             # perturb the first argument by a value that is numerically
-            # zero but data-dependent on the previous output, forcing
-            # serialization (no DCE, no cross-iteration overlap)
+            # invisible (|eps| <= |leaf|*1e-30 rounds away in the f32 add)
+            # but data-dependent on the previous output, forcing
+            # serialization. NOT "* 0.0": XLA's algebraic simplifier may
+            # fold that to a constant, hoisting fn out of the loop — the
+            # whole measurement then times an empty loop (the 0.0-us rows).
             out = fn(x0, *a[1:])
             leaf = jax.tree_util.tree_leaves(out)[0]
-            eps = (leaf.ravel()[0] * 0.0).astype(a[0].dtype)
+            eps = (leaf.ravel()[0] * 1e-30).astype(a[0].dtype)
             return (a[0] + eps, out)
 
         _, out = jax.lax.fori_loop(0, n, body, (a[0], out0))
@@ -64,7 +67,7 @@ class TimingResult(NamedTuple):
 
 
 def time_kernel_ex(fn: Callable, args: Sequence, iters: int = 50,
-                   warmup: bool = True, min_delta_s: float = 2e-3,
+                   warmup: bool = True, min_delta_s: float = 2e-2,
                    max_iters: int = 200_000) -> TimingResult:
     """Median-of-3 per-evaluation seconds for ``fn(*args)``.
 
@@ -81,6 +84,13 @@ def time_kernel_ex(fn: Callable, args: Sequence, iters: int = 50,
     is hit; a still-unresolvable measurement is flagged
     ``below_resolution`` instead of publishing a floor-clamped number
     (a batched kernel does not take 0.0 us).
+
+    ``min_delta_s`` must DOMINATE the launch jitter, not just the timer
+    resolution: the remote-tunnel dispatch is ~20-30 ms with ±10% jitter,
+    so a 2 ms threshold accepts deltas that are pure noise (measured: ABA
+    at K=50 gave delta ≈ 2.6 ms ≥ 2 ms from jitter alone, then median 0).
+    Default 20 ms ≈ one launch time forces K up until the kernel term is
+    ~10x the jitter.
     """
     run = repeat_inside_jit(fn, args)
     if warmup:  # one call compiles; the trip count is traced, so K == 4K
