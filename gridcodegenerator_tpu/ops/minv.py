@@ -13,9 +13,10 @@ TPU design choices (SURVEY.md §7 hard-parts 1-2):
   * all contractions on the 1-dof path are one-hot column selects and
     unrolled elementwise sums (no dot_general) so the identical trace also
     lowers inside Pallas kernels via Mosaic;
-  * the floating-base 6x6 D block is inverted with a batched linalg solve
-    (the reference calls its Gauss-Jordan ``invert_matrix``,
-    ``_direct_minv.py:104-122``) — floating robots take the XLA path.
+  * the floating-base 6x6 D block is inverted with the same lane-major
+    pivot-free Gauss-Jordan as everything else (the reference calls its
+    ``invert_matrix``, ``_direct_minv.py:104-122``) — floating robots take
+    the XLA tier, and ``jnp.linalg.inv`` is avoided there (see ``_inv66``).
 
 Output is the dense symmetric matrix by default; ``dense=False`` returns the
 upper-triangular factor exactly as the reference's SYMMETRIC_UPPER layout.
@@ -33,6 +34,7 @@ import numpy as np
 
 from ..models.model import RobotModel
 from .common import S_matrix, eye2d, onehot, rowmask_ge, vel_layout
+from .linalg import gj_inverse
 from .spatial import XTMX, XTcols, Xcols, XTv, outer6
 from .xforms import all_xmats
 
@@ -43,9 +45,16 @@ _es = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 
 def _inv66(D):
-    """Batched 6x6 inverse: (6, 6, B) -> (6, 6, B) via linalg on (B, 6, 6)."""
-    Db = jnp.moveaxis(D, -1, 0)
-    return jnp.moveaxis(jnp.linalg.inv(Db), 0, -1)
+    """Batched 6x6 inverse: (6, 6, B) -> (6, 6, B), lane-major Gauss-Jordan.
+
+    The articulated/composite base inertia block is SPD, so the pivot-free
+    reduction is valid (same assumption as the reference's
+    ``invert_matrix``, ``_direct_minv.py:104-122``). NOT ``jnp.linalg.inv``
+    on (B, 6, 6): XLA-TPU lowers tiny batched LU to a sequential
+    dynamic-slice loop — measured 1.7-2.5 ms/call at B=1024 (~300x the
+    whole fixed-base kernel) before the r4 switch; gj stays fused on the
+    VPU lanes."""
+    return gj_inverse(D)
 
 
 def minv_factors(model: RobotModel, q: jnp.ndarray, Xs=None):

@@ -200,13 +200,13 @@ FDSVA_MONO_MAX_NV = 16  # ceiling for the MONOLITHIC fused FDSVA-SO kernel:
                    # SVA stages fused and moves the contractions to the MXU
 
 
-SO_FUSED_PREFER_NV = 16  # measured dispatch threshold: fused SO wins ~2x
-                   # through quadruped scale (iiwa 121 vs 235 us, hyq 105 us
-                   # @ B=1024) but LOSES by ~10x at humanoid scale — the
-                   # (4, nv^3, B) output write is HBM-roofline work XLA
-                   # already saturates (atlas XLA ~0.4 us/sample = output
-                   # write speed-of-light) while the big Mosaic body
-                   # serializes. The API dispatches fused only at/below this.
+SO_FUSED_PREFER_NV = SO_MAX_NV  # dispatch threshold, re-measured r4
+                   # (SO_BENCH_r04.json): fused SO now wins at EVERY scale
+                   # it compiles at — 4.6x at iiwa (15.1 vs 69.7 us @B=128)
+                   # and 4.7x at atlas nv=28 (155.9 vs 740.4 us), where the
+                   # r2 kernel lost 10x and this gate was set to 16. The r3
+                   # gather-free X-builds and merged SVA stages removed the
+                   # Mosaic serialization that made humanoid-scale lose.
 
 
 def so_fits(model: RobotModel) -> bool:

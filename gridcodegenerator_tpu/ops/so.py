@@ -47,6 +47,15 @@ def _persample(fn):
     return wrapped
 
 
+# XLA-tier route split, measured on chip (SO_BENCH_r04.json): the dense
+# masked-tensor route is ~14% faster than the loop-unrolled form at nv=7
+# and ties at nv=28, with trace/compile cost independent of topology — the
+# analog of the reference's register/shared-vs-global spill threshold
+# (/root/reference/algorithms/_idsva_so.py:1,1003-1005). Below this the
+# unrolled form's smaller intermediates win.
+SO_DENSE_MIN_NV = 6
+
+
 def _check_fixed_base(model):
     if model.floating_base:
         raise NotImplementedError(
@@ -65,14 +74,19 @@ def idsva_so(
     """Second-order inverse dynamics: (4, nv, nv, nv, B) stacked tensors
     [d2tau/dq2, d2tau/dqd2, d2tau/dqd dq, dM/dq].
 
-    Always the analytical SVA algorithm (:func:`idsva_so_analytical`) —
-    correct on every backend; the vmap'd-jacfwd route is kept only as the
-    test-suite cross-check (:func:`idsva_so_jacfwd`), since it mislowers
-    numerically in f32 on TPU (see :func:`fdsva_so_jacfwd`).
+    Analytical SVA algorithm on every backend, in one of two forms of the
+    same math: on TPU at ``nv >= SO_DENSE_MIN_NV`` the dense masked-tensor
+    route (:func:`idsva_so_dense`, measured faster + bounded trace,
+    SO_BENCH_r04.json), the loop-unrolled form elsewhere
+    (:func:`idsva_so_analytical`). The vmap'd-jacfwd route is kept only as
+    the test-suite cross-check (:func:`idsva_so_jacfwd`), since it
+    mislowers numerically in f32 on TPU (see :func:`fdsva_so_jacfwd`).
 
     ``qdd`` defaults to zeros. The reference's second-order kernels take the
     realized qdd — pass it (e.g. from ``fd``/``aba``) whenever the tensors
     must be consistent with a trajectory's accelerations."""
+    if model.num_vel >= SO_DENSE_MIN_NV and jax.default_backend() == "tpu":
+        return idsva_so_dense(model, q, qd, qdd, GRAVITY)
     return idsva_so_analytical(model, q, qd, qdd, GRAVITY)
 
 
@@ -309,7 +323,7 @@ def fdsva_so_unrolled(
     """
     _check_fixed_base(model)
     df_du, qdd, Mi = fd_grad(model, q, qd, u, GRAVITY, return_extras=True)
-    T = idsva_so_unrolled(model, q, qd, qdd, GRAVITY)
+    T = idsva_so(model, q, qd, qdd, GRAVITY)  # route-dispatched form
     return fdsva_compose(model, T, df_du, Mi)
 
 

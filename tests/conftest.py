@@ -64,6 +64,7 @@ _SLOW_TIER = {
     "test_gradients_vs_autodiff",     # oracle parity + MuJoCo crosscheck stay
     "test_pallas_matches_xla[crba]",  # rnea/aba/minv pallas parity stay
     "test_effort_limit_solve_clamps",  # bounds-resolution checks stay default
+    "test_knot_sharded_gains_match_single_device",  # kp2 solver parity stays
 }
 
 

@@ -21,8 +21,11 @@ from gridcodegenerator_tpu.ops import minv as _minv
 from gridcodegenerator_tpu.ops import rnea as _rnea
 from gridcodegenerator_tpu.ops.pallas import kernels as pk
 
-B = 512
-BLOCK = 256
+# Interpret-mode cost scales with B; 2 grid blocks is what the parity
+# checks need (multi-block index math), so keep B small (r4 shave,
+# VERDICT r3 #6 — B=512 made minv alone 78 s on the 1-core CI box).
+B = 64
+BLOCK = 32
 
 
 @pytest.fixture(scope="module")
