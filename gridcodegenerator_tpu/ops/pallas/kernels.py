@@ -16,6 +16,7 @@ import dataclasses
 import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ...models.model import RobotModel
@@ -245,9 +246,27 @@ def idsva_so_pallas(model: RobotModel, gravity: float,
     bb = so_block_b(model, block_b)
     fn, consts = _bind(model, lambda m, q, qd, qdd: _so.idsva_so_unrolled(
         m, q, qd, qdd, gravity))
-    return fuse_batched(fn, [(n,)] * 3, [(4, nv, nv, nv)], consts=consts,
-                        dtype=model.Imat.dtype, block_b=bb,
-                        interpret=interpret, vmem_limit_bytes=VMEM_LIMIT)
+    kfn = fuse_batched(fn, [(n,)] * 3, [(4, nv, nv, nv)], consts=consts,
+                       dtype=model.Imat.dtype, block_b=bb,
+                       interpret=interpret, vmem_limit_bytes=VMEM_LIMIT)
+    # Mosaic double-buffers every window once the batch grid is >1; at
+    # humanoid scale the (4, nv^3, bb) output window alone is ~45 MB
+    # (atlas), so grid>=2 blows the VMEM budget even though grid=1 fits
+    # (measured OOM at B=256, r4). Chunk big-nv calls into grid-1 kernel
+    # invocations under lax.map instead — one extra HBM pass over the
+    # output for the chunk-axis restore, still ~3x the XLA route.
+    if 2 * 4 * nv ** 3 * bb * 4 > VMEM_LIMIT // 2 and not interpret:
+        def call(q, qd, qdd):
+            B = q.shape[-1]
+            if B <= bb:
+                return kfn(q, qd, qdd)
+            C = B // bb
+            chunk = lambda z: jnp.moveaxis(z.reshape(n, C, bb), 1, 0)
+            out = jax.lax.map(lambda t: kfn(*t),
+                              (chunk(q), chunk(qd), chunk(qdd)))
+            return jnp.moveaxis(out, 0, -2).reshape(4, nv, nv, nv, B)
+        return call
+    return kfn
 
 
 def fdsva_so_pallas(model: RobotModel, gravity: float,
