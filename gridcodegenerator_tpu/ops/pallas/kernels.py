@@ -260,6 +260,10 @@ def idsva_so_pallas(model: RobotModel, gravity: float,
             B = q.shape[-1]
             if B <= bb:
                 return kfn(q, qd, qdd)
+            assert B % bb == 0, (
+                f"chunked second-order kernel requires batch {B} to be a "
+                f"multiple of the {bb}-lane block (pad with "
+                f"fuse.pad_to_block)")
             C = B // bb
             chunk = lambda z: jnp.moveaxis(z.reshape(n, C, bb), 1, 0)
             out = jax.lax.map(lambda t: kfn(*t),
@@ -290,8 +294,12 @@ def fdsva_so_pallas(model: RobotModel, gravity: float,
     n, nv = model.n, model.num_vel
     bb = so_block_b(model, block_b)
     if nv <= FDSVA_MONO_MAX_NV:
+        # idsva_form="analytical" is load-bearing: the default backend
+        # dispatch picks idsva_so_dense on TPU, whose static masks become
+        # captured array constants inside this kernel body — Mosaic rejects
+        # them (the r4 flagship regression; dense is XLA-tier only).
         fn, consts = _bind(model, lambda m, q, qd, u: _so.fdsva_so_unrolled(
-            m, q, qd, u, gravity))
+            m, q, qd, u, gravity, idsva_form="analytical"))
         return fuse_batched(fn, [(n,)] * 3, [(4, nv, nv, nv)], consts=consts,
                             dtype=model.Imat.dtype, block_b=bb,
                             interpret=interpret, vmem_limit_bytes=VMEM_LIMIT)

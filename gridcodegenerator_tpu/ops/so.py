@@ -70,23 +70,40 @@ def idsva_so(
     qd: jnp.ndarray,
     qdd: Optional[jnp.ndarray] = None,
     GRAVITY: float = DEFAULT_GRAVITY,
+    form: Optional[str] = None,
 ) -> jnp.ndarray:
     """Second-order inverse dynamics: (4, nv, nv, nv, B) stacked tensors
     [d2tau/dq2, d2tau/dqd2, d2tau/dqd dq, dM/dq].
 
     Analytical SVA algorithm on every backend, in one of two forms of the
-    same math: on TPU at ``nv >= SO_DENSE_MIN_NV`` the dense masked-tensor
-    route (:func:`idsva_so_dense`, measured faster + bounded trace,
-    SO_BENCH_r04.json), the loop-unrolled form elsewhere
-    (:func:`idsva_so_analytical`). The vmap'd-jacfwd route is kept only as
-    the test-suite cross-check (:func:`idsva_so_jacfwd`), since it
-    mislowers numerically in f32 on TPU (see :func:`fdsva_so_jacfwd`).
+    same math, selected by ``form``:
+
+    * ``"dense"`` — masked-tensor route (:func:`idsva_so_dense`, measured
+      faster on the XLA tier at ``nv >= SO_DENSE_MIN_NV``, SO_BENCH_r04.json);
+      its static (n,n,n) masks are jnp constants, so it is XLA-tier ONLY —
+      never callable from inside a Pallas kernel body (Mosaic rejects
+      captured array constants).
+    * ``"analytical"`` — trace-time loop-unrolled form
+      (:func:`idsva_so_analytical`), Mosaic-lowerable; what the fused
+      kernels bind.
+    * ``None`` (default) — backend dispatch: dense on TPU at
+      ``nv >= SO_DENSE_MIN_NV``, analytical elsewhere. The explicit values
+      exist so tests can reach both branches regardless of backend (the
+      r4 regression shipped through exactly this untestable backend sniff).
+
+    The vmap'd-jacfwd route is kept only as the test-suite cross-check
+    (:func:`idsva_so_jacfwd`), since it mislowers numerically in f32 on TPU
+    (see :func:`fdsva_so_jacfwd`).
 
     ``qdd`` defaults to zeros. The reference's second-order kernels take the
     realized qdd — pass it (e.g. from ``fd``/``aba``) whenever the tensors
     must be consistent with a trajectory's accelerations."""
-    if model.num_vel >= SO_DENSE_MIN_NV and jax.default_backend() == "tpu":
+    if form is None:
+        form = ("dense" if model.num_vel >= SO_DENSE_MIN_NV
+                and jax.default_backend() == "tpu" else "analytical")
+    if form == "dense":
         return idsva_so_dense(model, q, qd, qdd, GRAVITY)
+    assert form == "analytical", form
     return idsva_so_analytical(model, q, qd, qdd, GRAVITY)
 
 
@@ -305,6 +322,7 @@ def fdsva_so_unrolled(
     qd: jnp.ndarray,
     u: jnp.ndarray,
     GRAVITY: float = DEFAULT_GRAVITY,
+    idsva_form: Optional[str] = None,
 ) -> jnp.ndarray:
     """FDSVA-SO from the IDSVA-SO tensors by the implicit-function identity
     — the reference's own composition (``_fdsva_so.py:52-83``:
@@ -320,10 +338,16 @@ def fdsva_so_unrolled(
     ~40% cheaper than jacfwd through ``fd_grad``: the 2nv JVP seeds pass
     only through ``id_grad``/``crba`` (no per-seed mass-matrix inverse),
     and the remaining work is n^4 lane-wise contractions.
+
+    ``idsva_form`` selects the IDSVA-SO form (see :func:`idsva_so`). Callers
+    that trace this INSIDE a Pallas kernel body MUST pass ``"analytical"``:
+    the default backend dispatch would pick ``idsva_so_dense`` on TPU, whose
+    static masks become captured array constants that Mosaic rejects (the
+    r4 flagship regression, VERDICT.md r4 weak #1).
     """
     _check_fixed_base(model)
     df_du, qdd, Mi = fd_grad(model, q, qd, u, GRAVITY, return_extras=True)
-    T = idsva_so(model, q, qd, qdd, GRAVITY)  # route-dispatched form
+    T = idsva_so(model, q, qd, qdd, GRAVITY, form=idsva_form)
     return fdsva_compose(model, T, df_du, Mi)
 
 

@@ -19,18 +19,31 @@ from gridcodegenerator_tpu.reference import oracle
 def _orig_model(xml_file, root_body):
     import os
 
-    import gymnasium_robotics
-    path = os.path.join(os.path.dirname(gymnasium_robotics.__file__),
-                        "envs", "mujoco", "assets", xml_file)
+    if xml_file.startswith("dm_control:"):
+        import dm_control
+        path = os.path.join(os.path.dirname(dm_control.__file__),
+                            xml_file.split(":", 1)[1])
+    else:
+        import gymnasium_robotics
+        path = os.path.join(os.path.dirname(gymnasium_robotics.__file__),
+                            "envs", "mujoco", "assets", xml_file)
     spec = mujoco.MjSpec.from_file(path)
-    # weld the root: drop the free joint so the tree matches our fixed base
+    # weld every free joint: the root (so the tree matches our fixed base)
+    # and any free prop bodies outside the converted subtree (dm_control's
+    # quadruped scene ships a soccer ball)
     for b in spec.bodies:
-        if b.name == root_body:
-            for j in list(b.joints):
+        for j in list(b.joints):
+            if j.type == mujoco.mjtJoint.mjJNT_FREE:
                 spec.delete(j)
     m = spec.compile()
+    # EQUALITY: dm_control's quadruped couples each leg's pitch/knee/ankle
+    # through tendon-equality constraints — a mechanism URDF cannot
+    # express; the converted robot is the unconstrained rigid-body tree
+    # with the published inertial parameters (documented in the URDF
+    # header), so the comparison drops the couplings on the MuJoCo side too
     m.opt.disableflags |= (mujoco.mjtDisableBit.mjDSBL_LIMIT
-                           | mujoco.mjtDisableBit.mjDSBL_CONTACT)
+                           | mujoco.mjtDisableBit.mjDSBL_CONTACT
+                           | mujoco.mjtDisableBit.mjDSBL_EQUALITY)
     # rotor inertia / joint springs / Coulomb friction are not
     # representable in URDF (dropped by the converter); zero them so both
     # sides model the same mechanism — rigid-body dynamics + damping
@@ -43,6 +56,7 @@ def _orig_model(xml_file, root_body):
 @pytest.mark.parametrize("name,xml,root", [
     ("gym_ant", "ant.xml", "torso"),
     ("gym_humanoid", "humanoid.xml", "torso"),
+    ("dm_quadruped", "dm_control:suite/quadruped.xml", "torso"),
 ])
 def test_converted_dynamics_match_original_mjcf(name, xml, root):
     topo = load_robot(name)

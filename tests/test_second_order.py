@@ -144,6 +144,48 @@ def test_analytical_idsva_humanoid_scale():
     np.testing.assert_allclose(A[0, ..., 0], d2q, atol=1e-11 * scale)
 
 
+def test_idsva_so_form_flag_reaches_both_routes():
+    """The explicit ``form`` argument reaches both routes regardless of
+    backend (ADVICE r4: the backend sniff at ``so.idsva_so`` was untestable
+    under the CPU-forced suite, which let the r4 fdsva_so_pallas regression
+    ship). Dense and analytical must agree; the dispatcher default must
+    equal one of them."""
+    from gridcodegenerator_tpu.ops import so as _so
+
+    rng = np.random.default_rng(5)
+    model = build_model(load_robot("iiwa"), dtype=jnp.float64)
+    n = model.n
+    q, qd, qdd = (jnp.asarray(rng.uniform(-1, 1, (n, 2))) for _ in range(3))
+    a = np.asarray(_so.idsva_so(model, q, qd, qdd, form="analytical"))
+    d = np.asarray(_so.idsva_so(model, q, qd, qdd, form="dense"))
+    default = np.asarray(_so.idsva_so(model, q, qd, qdd))
+    np.testing.assert_allclose(d, a, atol=1e-12)
+    assert (default == a).all() or (default == d).all()
+
+
+def test_fdsva_so_pallas_kernel_traces_without_captured_consts(monkeypatch):
+    """Regression guard for the r4 flagship break: tracing the MONOLITHIC
+    fused FDSVA-SO kernel must not capture array constants, even when the
+    backend dispatch would pick the dense (mask-capturing) IDSVA-SO route.
+
+    Pallas raises its "captures constants" error at TRACE time (platform-
+    independent), so this is checkable on the CPU suite: force the backend
+    sniff to report "tpu" and eval_shape the kernel. At r4 HEAD this raised
+    for every 6 <= nv <= 16 robot (VERDICT.md r4)."""
+    from gridcodegenerator_tpu.ops import so as _so
+    from gridcodegenerator_tpu.ops.pallas import kernels as _pk
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for name in ("iiwa", "hyq"):
+        model = build_model(load_robot(name), dtype=jnp.float32)
+        n = model.n
+        assert _so.SO_DENSE_MIN_NV <= model.num_vel <= _pk.FDSVA_MONO_MAX_NV
+        kfn = _pk.fdsva_so_pallas(model, -9.81)
+        q = jnp.zeros((n, _pk.SO_BLOCK_B), jnp.float32)
+        out = jax.eval_shape(kfn, q, q, q)  # raises on captured consts
+        assert out.shape == (4, n, n, n, _pk.SO_BLOCK_B)
+
+
 def test_idsva_so_dense_matches_analytical():
     """Tensorized (dense masked contractions) IDSVA-SO == unrolled
     analytical route, f64 (iiwa + the branched quadruped)."""
