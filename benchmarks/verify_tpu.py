@@ -43,7 +43,9 @@ def fused_kernel_smoke():
     for name in robots:
         model = build_model(load_robot(name), dtype=jnp.float32)
         n = model.n
-        bb = _pk.default_block_b(model)
+        # 1024 lanes exercises the 2-D (8,128) batch-tile path where the
+        # robot qualifies (kernels._batch2d); others smoke at the flat tile
+        bb = 1024 if _pk._batch2d(model) else _pk.default_block_b(model)
         sbb = _pk.so_block_b(model)
         mk3 = lambda B: tuple(
             jnp.asarray(rng.uniform(-1, 1, (n, B)), jnp.float32)

@@ -324,7 +324,7 @@ class GRiD:
                         lambda: _pk.fdsva_so_pallas(self.model, self.gravity),
                         (qk, qdk, uk),
                         block=_pk.so_block_b(self.model),
-                        enabled=_pk.so_prefer_fused(self.model))
+                        enabled=_pk.so_prefer_fused(self.model, "fdsva_so"))
         return self._out(out, ub)
 
     def eepos(self, q):

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.model import RobotModel
-from .common import DEFAULT_GRAVITY, S_matrix, e_vec, gravity_accel, vel_layout
+from .common import (DEFAULT_GRAVITY, S_matrix, const_mat_b, e_vec,
+                     gravity_accel, vel_layout)
 from .minv import _inv66
 from .spatial import Mv, XTMX, XTv, Xv, cross_fv, cross_mv, dot6, outer6
 from .xforms import all_xmats
@@ -48,14 +49,14 @@ def aba(
     B = Xs[0].shape[-1]
     dtype = Xs[0].dtype
     vl = vel_layout(model)
-    g = gravity_accel(GRAVITY, B, dtype)
+    g = gravity_accel(GRAVITY, B, dtype, qd.ndim + 1)
 
     # pass 1: velocities, velocity-product bias, initial articulated force
     v: List[jnp.ndarray] = [None] * n
     cb: List[jnp.ndarray] = [None] * n
     pA: List[jnp.ndarray] = [None] * n
     tz = Xs[0][0, 0] * 0.0  # traced zero: materialize constant broadcasts
-    IA = [model.Imat[i][:, :, None].astype(dtype) + tz for i in range(n)]
+    IA = [const_mat_b(model.Imat[i].astype(dtype), tz) for i in range(n)]
     for lvl in model.bfs_levels:
         for i in lvl:
             off, d = vl[i]

@@ -48,16 +48,17 @@ def onehot_nd(k: int, size: int, dtype, ndim: int) -> jnp.ndarray:
     return (i == k).astype(dtype)
 
 
-def rowmask_ge(off: int, size: int, dtype) -> jnp.ndarray:
-    """(size, 1) mask of rows >= off, built in-trace."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0)
+def rowmask_ge(off: int, size: int, dtype, ndim: int = 2) -> jnp.ndarray:
+    """(size, 1...) mask of rows >= off at rank ``ndim``, built in-trace."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (size,) + (1,) * (ndim - 1), 0)
     return (i >= off).astype(dtype)
 
 
-def gravity_accel(GRAVITY: float, B: int, dtype) -> jnp.ndarray:
-    """The fictitious base acceleration [0,0,0,0,0,-GRAVITY] as a (6,1)
-    column (broadcasts over lanes; reference oracle ``_test.py:13-14``)."""
-    return onehot(5, 6, dtype) * jnp.asarray(-GRAVITY, dtype)
+def gravity_accel(GRAVITY: float, B: int, dtype, ndim: int = 2) -> jnp.ndarray:
+    """The fictitious base acceleration [0,0,0,0,0,-GRAVITY] as a
+    (6, 1...) column at rank ``ndim`` (broadcasts over any trailing batch
+    shape; reference oracle ``_test.py:13-14``)."""
+    return onehot_nd(5, 6, dtype, ndim) * jnp.asarray(-GRAVITY, dtype)
 
 
 def vel_layout(model: RobotModel) -> List[Tuple[int, int]]:
@@ -87,6 +88,17 @@ def S_matrix(model: RobotModel, i: int) -> np.ndarray:
     S = np.zeros((6, 1))
     S[model.S_ind[i], 0] = 1.0
     return S
+
+
+def const_mat_b(M, tz) -> jnp.ndarray:
+    """Materialize an unbatched (r, c) constant against a traced zero ``tz``
+    of the batch shape: (r, c, B...) via scalar splats. Rank-free: Mosaic
+    cannot rank-expand a loaded 2-D constant into 2-D batch tiles, but a
+    scalar extract broadcasts at any rank (and XLA folds this identically
+    to the reshape form on the flat tiers)."""
+    r, c = M.shape
+    return jnp.stack([jnp.stack([M[i, j] + tz for j in range(c)])
+                      for i in range(r)])
 
 
 def set_row(v6b: jnp.ndarray, k: int, val) -> jnp.ndarray:

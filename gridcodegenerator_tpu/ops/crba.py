@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.model import RobotModel
-from .common import S_matrix, eye2d, vel_layout
+from .common import S_matrix, const_mat_b, eye_nd, vel_layout
 from .spatial import XTMX, XTv
 from .xforms import all_xmats
 
@@ -37,8 +37,9 @@ def crba(model: RobotModel, q: jnp.ndarray, Xs=None) -> jnp.ndarray:
     dtype = Xs[0].dtype
     vl = vel_layout(model)
 
+    bshape = Xs[0].shape[2:]
     tz = Xs[0][0, 0] * 0.0  # traced zero: materialize constant broadcasts
-    Ic = [model.Imat[i][:, :, None].astype(dtype) + tz for i in range(n)]
+    Ic = [const_mat_b(model.Imat[i].astype(dtype), tz) for i in range(n)]
     for lvl in reversed(model.bfs_levels):
         for i in lvl:
             p = model.parent[i]
@@ -48,7 +49,7 @@ def crba(model: RobotModel, q: jnp.ndarray, Xs=None) -> jnp.ndarray:
     if all(d == 1 for _, d in vl):
         # scatter-free column-stack construction: column i holds entries at
         # ancestors+self (rows j <= i, upper triangle), mirrored elementwise
-        zero = jnp.zeros((B,), dtype)
+        zero = jnp.zeros(bshape, dtype)
         cols = []
         for i in range(n):
             s_i = model.S_ind[i]
@@ -60,8 +61,8 @@ def crba(model: RobotModel, q: jnp.ndarray, Xs=None) -> jnp.ndarray:
                 j = model.parent[j]
                 entries[j] = fh[model.S_ind[j]]
             cols.append(jnp.stack([entries.get(r, zero) for r in range(n)]))
-        Mu = jnp.stack(cols, axis=1)                  # (nv, nv, B) upper
-        eye = eye2d(nv, dtype)[:, :, None]
+        Mu = jnp.stack(cols, axis=1)                  # (nv, nv, B...) upper
+        eye = eye_nd(nv, dtype, Mu.ndim)
         return Mu + jnp.swapaxes(Mu, 0, 1) - Mu * eye
 
     # floating-base general path (XLA only)

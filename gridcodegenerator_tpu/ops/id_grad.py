@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.model import RobotModel
-from .common import DEFAULT_GRAVITY, eye2d, gravity_accel, onehot
+from .common import (DEFAULT_GRAVITY, eye_nd, gravity_accel,
+                     onehot_nd)
 from .rnea import rnea_bpass, rnea_fpass
 from .spatial import (Mcols as _Mcols, Mv, Xcols as _Xcols,
                       XTcols as _XTcols, XTv, Xv, cross_fv, cross_mv,
@@ -66,8 +67,10 @@ def id_grad_inner(
     nv = model.num_vel
     vl = vel_layout(model)
     B = qd.shape[-1]
+    bshape = qd.shape[1:]   # trailing batch shape: (B,) or (sub, L)
+    nb = len(bshape)
     dtype = qd.dtype
-    g = gravity_accel(GRAVITY, B, dtype)
+    g = gravity_accel(GRAVITY, B, dtype, 1 + nb)
     tz = Xs[0][0, 0] * 0.0  # traced zero: materialize constant broadcasts
 
     # ---- stage 1: temporaries (all-joint parallel) -----------------------
@@ -89,12 +92,14 @@ def id_grad_inner(
             MxXa.append(jnp.stack([mxS(j, Xa_p) for j in range(6)], axis=1))
             Mxv.append(None)
         # crf(v) @ I as a (6,6,B) operator: columns are cross_fv(v, I[:,k])
-        Icols = [model.Imat[i][:, k][:, None] + tz for k in range(6)]
+        Icols = [jnp.stack([model.Imat[i][r, k] + tz for r in range(6)])
+                 for k in range(6)]
         FxvI.append(jnp.stack([cross_fv(v[i], col) for col in Icols], axis=1))
 
     # column-add helpers: X + e_col ⊗ val (scatter-free; Mosaic-safe)
     def col_add(D, col, val):
-        return D + onehot(col, nv, dtype)[None, :, :] * val[:, None, :]
+        oh = onehot_nd(col, nv, dtype, 2 + nb)   # (nv, 1, 1...)
+        return D + jnp.swapaxes(oh, 0, 1) * val[:, None]
 
     def col_put6(D, start, val6):  # val6 (6, 6, B) into columns start..start+5
         for j in range(6):
@@ -109,17 +114,17 @@ def id_grad_inner(
             p = model.parent[i]
             off, d = vl[i]
             if p == -1:
-                Dq = jnp.zeros((6, nv, B), dtype)
-                Dd = jnp.zeros((6, nv, B), dtype)
+                Dq = jnp.zeros((6, nv) + bshape, dtype)
+                Dd = jnp.zeros((6, nv) + bshape, dtype)
             else:
                 Dq = col_add(_Xcols(Xs[i], Dvq[p]), off, MxXv[i])
                 Dd = _Xcols(Xs[i], Dvqd[p])
             Dvq[i] = Dq
             if d == 1:
-                Sd = onehot(model.S_ind[i], 6, dtype) + tz  # (6, B)
+                Sd = onehot_nd(model.S_ind[i], 6, dtype, 1 + nb) + tz
                 Dvqd[i] = col_add(Dd, off, Sd)
             else:  # dv0/dqd = S = I6
-                Dvqd[i] = col_put6(Dd, off, eye2d(6, dtype)[:, :, None] + tz)
+                Dvqd[i] = col_put6(Dd, off, eye_nd(6, dtype, 2 + nb) + tz)
 
     # ---- stage 3: da/du = crm(dv/du) S qd + self terms + X da_parent/du --
     Daq: List[jnp.ndarray] = [None] * n
@@ -128,8 +133,9 @@ def id_grad_inner(
         for i in lvl:
             off, d = vl[i]
             if d == 6:  # base: a0 = X(q) g (+ const qdd) — only MxXa terms
-                Daq[i] = col_put6(jnp.zeros((6, nv, B), dtype), off, MxXa[i])
-                Dad[i] = jnp.zeros((6, nv, B), dtype)
+                Daq[i] = col_put6(jnp.zeros((6, nv) + bshape, dtype), off,
+                                  MxXa[i])
+                Dad[i] = jnp.zeros((6, nv) + bshape, dtype)
                 continue
             s = model.S_ind[i]
             qdi = qd[off][None]  # broadcast over columns
@@ -145,7 +151,7 @@ def id_grad_inner(
     Dfq: List[jnp.ndarray] = [None] * n
     Dfd: List[jnp.ndarray] = [None] * n
     for i in range(n):
-        Iv_b = Iv[i][:, None, :]  # (6,1,B) broadcasts over columns
+        Iv_b = Iv[i][:, None]  # (6,1,B...) broadcasts over columns
         Dfq[i] = (cross_fv(Dvq[i], Iv_b) + _Mcols(model.Imat[i], Daq[i])
                   + _Xcols(FxvI[i], Dvq[i]))
         Dfd[i] = (cross_fv(Dvqd[i], Iv_b) + _Mcols(model.Imat[i], Dad[i])
@@ -174,7 +180,8 @@ def id_grad_inner(
             # damping enters the dqd diagonal per row (scalar * one-hot — no
             # lane-to-sublane reshape of the damping vector, Mosaic-safe)
             dcd_rows.append((Dfd[i][model.S_ind[i]]
-                             + model.damping[i] * onehot(off, nv, dtype))[None])
+                             + model.damping[i]
+                             * onehot_nd(off, nv, dtype, 1 + nb))[None])
     dcq = jnp.concatenate(dcq_rows, axis=0)   # (nv, nv, B)
     dcd = jnp.concatenate(dcd_rows, axis=0)
     dc_du = jnp.concatenate([dcq, dcd], axis=1)  # (nv, 2nv, B)

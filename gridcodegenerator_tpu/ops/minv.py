@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.model import RobotModel
-from .common import S_matrix, eye2d, onehot, rowmask_ge, vel_layout
+from .common import (S_matrix, const_mat_b, eye_nd, onehot_nd,
+                     rowmask_ge, vel_layout)
 from .linalg import gj_inverse
 from .spatial import XTMX, XTcols, Xcols, XTv, outer6
 from .xforms import all_xmats
@@ -66,25 +67,44 @@ def minv_factors(model: RobotModel, q: jnp.ndarray, Xs=None):
     if Xs is None:
         Xs = all_xmats(model, q)
     B = Xs[0].shape[-1]
+    bshape = Xs[0].shape[2:]   # trailing batch shape: (B,) or (sub, L)
+    nb = len(bshape)
     dtype = Xs[0].dtype
     vl = vel_layout(model)
 
-    # subtree masks over velocity columns, (nv, 1) each (model constant so the
-    # same trace lowers in Pallas without captured array constants)
-    sub_mask = [model.subtree_mask[i][:, None].astype(dtype)
-                for i in range(n)]
+    # subtree masks over velocity columns, (nv, 1...) each — synthesized
+    # in-trace from the STATIC subtree index sets (broadcasted_iota sums),
+    # so no loaded constant ever needs rank expansion (Mosaic-safe at any
+    # batch rank) and the mask costs no kernel input
+    def _smask(i):
+        sel = set()
+        for j in model.subtree[i]:
+            off_j, d_j = vl[j]
+            sel.update(range(off_j, off_j + d_j))
+        m = onehot_nd(min(sel), nv, dtype, 1 + nb)
+        for r in sorted(sel)[1:]:
+            m = m + onehot_nd(r, nv, dtype, 1 + nb)
+        return m
 
-    Minv = jnp.zeros((nv, nv, B), dtype)
-    F: List[Optional[jnp.ndarray]] = [None] * n  # per joint (6, nv, B)
+    sub_mask = [_smask(i) for i in range(n)]
+
+    def oh1(k, size):
+        return onehot_nd(k, size, dtype, 1 + nb)       # (size, 1...)
+
+    def oh2(k, size):
+        return onehot_nd(k, size, dtype, 2 + nb)       # (size, 1, 1...)
+
+    Minv = jnp.zeros((nv, nv) + bshape, dtype)
+    F: List[Optional[jnp.ndarray]] = [None] * n  # per joint (6, nv, B...)
     U: List[Optional[jnp.ndarray]] = [None] * n
     Dinv: List[Optional[jnp.ndarray]] = [None] * n
     # traced zero: materializes constant broadcasts so Mosaic lays them out
     # as real vectors (a constant-zero add would be folded away)
     tz = Xs[0][0, 0] * 0.0
-    IA = [model.Imat[i][:, :, None].astype(dtype) + tz for i in range(n)]
+    IA = [const_mat_b(model.Imat[i].astype(dtype), tz) for i in range(n)]
 
     def zeros_F():
-        return jnp.zeros((6, nv, B), dtype)
+        return jnp.zeros((6, nv) + bshape, dtype)
 
     # ---- backward pass (reverse BFS waves) -------------------------------
     for lvl in reversed(model.bfs_levels):
@@ -98,9 +118,9 @@ def minv_factors(model: RobotModel, q: jnp.ndarray, Xs=None):
                 Ui = IA[i][:, s]                      # (6, B)
                 Dinv_i = 1.0 / Ui[s]                  # (B,)
                 U[i], Dinv[i] = Ui, Dinv_i
-                row = -Dinv_i * F[i][s] * sub_mask[i]           # (nv, B)
-                row = row + onehot(off, nv, dtype) * Dinv_i
-                Minv = Minv + onehot(off, nv, dtype)[:, :, None] * row[None]
+                row = -Dinv_i * F[i][s] * sub_mask[i]           # (nv, B...)
+                row = row + oh1(off, nv) * Dinv_i
+                Minv = Minv + oh2(off, nv) * row[None]
                 if p != -1:
                     Fi = F[i] + (Ui[:, None] * Minv[off][None]
                                  * sub_mask[i][None])
@@ -143,18 +163,18 @@ def minv_factors(model: RobotModel, q: jnp.ndarray, Xs=None):
         p = model.parent[i]
         if d == 1:
             s = model.S_ind[i]
-            cmask = rowmask_ge(off, nv, dtype)        # (nv, 1) cols >= off
+            cmask = rowmask_ge(off, nv, dtype, 1 + nb)  # (nv,1...) >= off
             if p != -1:
                 UX = XTv(Xs[i], U[i])                 # (6, B) row U^T X
                 contr = UX[0][None] * F[p][0]
                 for j in range(1, 6):
                     contr = contr + UX[j][None] * F[p][j]
-                delta = -Dinv[i] * contr * cmask      # (nv, B)
-                Minv = Minv + onehot(off, nv, dtype)[:, :, None] * delta[None]
+                delta = -Dinv[i] * contr * cmask      # (nv, B...)
+                Minv = Minv + oh2(off, nv) * delta[None]
                 Fi_new = Xcols(Xs[i], F[p])
             else:
-                Fi_new = jnp.zeros((6, nv, B), dtype)
-            Fi_new = Fi_new + onehot(s, 6, dtype)[:, :, None] * Minv[off][None]
+                Fi_new = jnp.zeros((6, nv) + bshape, dtype)
+            Fi_new = Fi_new + oh2(s, 6) * Minv[off][None]
             F[i] = F[i] * (1.0 - cmask)[None] + Fi_new * cmask[None]
         else:
             cols = slice(off, nv)
@@ -181,7 +201,7 @@ def densify(Minv_upper: jnp.ndarray) -> jnp.ndarray:
     (Pallas-compatible), no index scatter.
     """
     nv = Minv_upper.shape[0]
-    eye = eye2d(nv, Minv_upper.dtype)[:, :, None]
+    eye = eye_nd(nv, Minv_upper.dtype, Minv_upper.ndim)
     return (Minv_upper + jnp.swapaxes(Minv_upper, 0, 1)
             - Minv_upper * eye)
 

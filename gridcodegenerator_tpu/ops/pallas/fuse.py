@@ -42,6 +42,25 @@ def _specs(shapes: Sequence[Tuple[int, ...]], block_b: int):
     return specs
 
 
+SUB2D = 8      # sublane rows of a 2-D batch tile (fills (8,128) f32 vregs)
+LANE = 128
+
+
+def _specs2d(shapes: Sequence[Tuple[int, ...]]):
+    """Per-sample shapes stored as ``shape + (G, LANE)``; tiled to
+    ``shape + (SUB2D, LANE)`` blocks along the G axis."""
+    specs = []
+    for shp in shapes:
+        nlead = len(shp)
+
+        def imap(i, _nlead=nlead):
+            return (0,) * _nlead + (i, 0)
+
+        specs.append(pl.BlockSpec(tuple(shp) + (SUB2D, LANE), imap,
+                                  memory_space=pltpu.VMEM))
+    return specs
+
+
 def fuse_batched(
     fn: Callable,
     in_shapes: Sequence[Tuple[int, ...]],
@@ -51,6 +70,7 @@ def fuse_batched(
     block_b: int = DEFAULT_BLOCK_B,
     interpret: bool = False,
     vmem_limit_bytes: int | None = None,
+    batch2d: bool = False,
 ) -> Callable:
     """Build a fused batched callable from a lane-major algorithm.
 
@@ -61,6 +81,15 @@ def fuse_batched(
     shared-memory copy (``_topology_helpers.py:155-331``). The returned
     callable takes full ``(..., B)`` arrays with B a multiple of ``block_b``
     and tiles the batch over a 1-D grid.
+
+    ``batch2d``: when set and B divides into (8, 128) tiles, the batch axis
+    is reshaped to a 2-D (sublane, lane) tile per grid step, so every
+    elementwise op in the algorithm fills full (8, 128) f32 vregs. The flat
+    layout pads the small structural leading dims (6-vectors, n-rows) into
+    the 8-sublane dimension at 75%/87.5% fill — measured r5, this is the
+    difference between the kernel table's flat tiers and the 2-D Riccati
+    sweeps. Algorithms must be batch-rank agnostic (all of ``ops/*`` are).
+    Calls whose B does not tile fall back to the flat layout.
     """
     in_shapes = [tuple(s) for s in in_shapes]
     out_shapes = [tuple(s) for s in out_shapes]
@@ -91,15 +120,32 @@ def fuse_batched(
 
     def call(*arrays):
         B = arrays[0].shape[-1]
-        assert B % block_b == 0, (B, block_b)
-        grid = (B // block_b,)
         params = {}
         if vmem_limit_bytes is not None:
             params["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit_bytes)
+        if batch2d and not interpret and B % (SUB2D * LANE) == 0:
+            G = B // LANE
+            r2 = lambda z: z.reshape(z.shape[:-1] + (G, LANE))
+            out = pl.pallas_call(
+                kernel,
+                grid=(G // SUB2D,),
+                in_specs=const_specs + _specs2d(in_shapes),
+                out_specs=tuple(_specs2d(out_shapes)),
+                out_shape=tuple(
+                    jax.ShapeDtypeStruct(s + (G, LANE), dtype)
+                    for s in out_shapes),
+                interpret=interpret,
+                **params,
+            )(*consts, *map(r2, arrays))
+            flat = lambda z: z.reshape(z.shape[:-2] + (B,))
+            if len(out_shapes) > 1:
+                return tuple(flat(o) for o in out)
+            return flat(out[0])
+        assert B % block_b == 0, (B, block_b)
         out = pl.pallas_call(
             kernel,
-            grid=grid,
+            grid=(B // block_b,),
             in_specs=const_specs + _specs(in_shapes, block_b),
             out_specs=tuple(_specs(out_shapes, block_b)),
             out_shape=tuple(

@@ -51,6 +51,16 @@ def default_block_b(model: RobotModel,
 VMEM_LIMIT = 100 * 2 ** 20  # scoped VMEM budget for all fused kernels
 
 
+def _batch2d(model: RobotModel) -> bool:
+    """2-D (8,128) batch tiles for the first-order kernels: every
+    elementwise op fills full f32 vregs instead of padding the 6-row /
+    n-row structural dims into the 8-sublane axis (see
+    ``fuse.fuse_batched``). High-DoF robots keep flat tiles — the
+    1024-lane working set of the gradient kernels outgrows VMEM above
+    ~16 DoF."""
+    return model.n <= 16
+
+
 def _bind(model: RobotModel, algo):
     """Close ``algo(model, *ins)`` over a model whose constant arrays arrive
     as kernel inputs (Pallas cannot capture array constants)."""
@@ -81,7 +91,8 @@ def rnea_pallas(model: RobotModel, gravity: float, with_qdd: bool = True,
     return fuse_batched(fn, ins, [(n,)], consts=consts,
                         dtype=model.Imat.dtype, block_b=block_b,
                         interpret=interpret,
-                        vmem_limit_bytes=VMEM_LIMIT)
+                        vmem_limit_bytes=VMEM_LIMIT,
+                        batch2d=_batch2d(model))
 
 
 def minv_pallas(model: RobotModel, dense: bool = True,
@@ -94,7 +105,8 @@ def minv_pallas(model: RobotModel, dense: bool = True,
     return fuse_batched(fn, [(n,)], [(n, n)], consts=consts,
                         dtype=model.Imat.dtype, block_b=block_b,
                         interpret=interpret,
-                        vmem_limit_bytes=VMEM_LIMIT)
+                        vmem_limit_bytes=VMEM_LIMIT,
+                        batch2d=_batch2d(model))
 
 
 def crba_pallas(model: RobotModel, block_b: Optional[int] = None,
@@ -107,7 +119,8 @@ def crba_pallas(model: RobotModel, block_b: Optional[int] = None,
     return fuse_batched(fn, [(n,)], [(n, n)], consts=consts,
                         dtype=model.Imat.dtype, block_b=block_b,
                         interpret=interpret,
-                        vmem_limit_bytes=VMEM_LIMIT)
+                        vmem_limit_bytes=VMEM_LIMIT,
+                        batch2d=_batch2d(model))
 
 
 def fd_pallas(model: RobotModel, gravity: float,
@@ -121,7 +134,8 @@ def fd_pallas(model: RobotModel, gravity: float,
     return fuse_batched(fn, [(n,)] * 3, [(n,)], consts=consts,
                         dtype=model.Imat.dtype, block_b=block_b,
                         interpret=interpret,
-                        vmem_limit_bytes=VMEM_LIMIT)
+                        vmem_limit_bytes=VMEM_LIMIT,
+                        batch2d=_batch2d(model))
 
 
 def aba_pallas(model: RobotModel, gravity: float,
@@ -135,7 +149,8 @@ def aba_pallas(model: RobotModel, gravity: float,
     return fuse_batched(fn, [(n,)] * 3, [(n,)], consts=consts,
                         dtype=model.Imat.dtype, block_b=block_b,
                         interpret=interpret,
-                        vmem_limit_bytes=VMEM_LIMIT)
+                        vmem_limit_bytes=VMEM_LIMIT,
+                        batch2d=_batch2d(model))
 
 
 def id_du_pallas(model: RobotModel, gravity: float,
@@ -149,7 +164,8 @@ def id_du_pallas(model: RobotModel, gravity: float,
     return fuse_batched(fn, [(n,)] * 3, [(n, 2 * n)], consts=consts,
                         dtype=model.Imat.dtype, block_b=block_b,
                         interpret=interpret,
-                        vmem_limit_bytes=VMEM_LIMIT)
+                        vmem_limit_bytes=VMEM_LIMIT,
+                        batch2d=_batch2d(model))
 
 
 def fd_du_pallas(model: RobotModel, gravity: float,
@@ -175,7 +191,8 @@ def fd_du_pallas(model: RobotModel, gravity: float,
     return fuse_batched(fn, [(n,)] * 3, outs, consts=consts,
                         dtype=model.Imat.dtype, block_b=block_b,
                         interpret=interpret,
-                        vmem_limit_bytes=VMEM_LIMIT)
+                        vmem_limit_bytes=VMEM_LIMIT,
+                        batch2d=_batch2d(model))
 
 
 # ---------------------------------------------------------------------------
@@ -201,13 +218,19 @@ FDSVA_MONO_MAX_NV = 16  # ceiling for the MONOLITHIC fused FDSVA-SO kernel:
                    # SVA stages fused and moves the contractions to the MXU
 
 
-SO_FUSED_PREFER_NV = SO_MAX_NV  # dispatch threshold, re-measured r4
-                   # (SO_BENCH_r04.json): fused SO now wins at EVERY scale
-                   # it compiles at — 4.6x at iiwa (15.1 vs 69.7 us @B=128)
-                   # and 4.7x at atlas nv=28 (155.9 vs 740.4 us), where the
-                   # r2 kernel lost 10x and this gate was set to 16. The r3
-                   # gather-free X-builds and merged SVA stages removed the
-                   # Mosaic serialization that made humanoid-scale lose.
+SO_FUSED_PREFER_NV = SO_MAX_NV  # idsva_so dispatch threshold, re-measured
+                   # r5 (SO_BENCH_r05.json @B=128): fused IDSVA-SO wins at
+                   # every scale it compiles at — 4.3x at iiwa (15.1 vs
+                   # 64.1 us), 4.2x at hyq, 3.4x at gym_humanoid nv=17
+                   # (53.6 vs 182.5), 3.7x at atlas nv=28 (193.1 vs 718.0)
+FDSVA_FUSED_PREFER_NV = FDSVA_MONO_MAX_NV  # fdsva_so dispatch threshold,
+                   # measured SEPARATELY per VERDICT r4 weak #4 (the r4
+                   # gate shipped humanoids a 2x-slower route on idsva-only
+                   # evidence). SO_BENCH_r05: the MONOLITHIC fused kernel
+                   # wins 4.3x at nv=7 (20.5 vs 87.3 us) and 3.7x at nv=12
+                   # (46.8 vs 172.9); ABOVE the monolithic ceiling the
+                   # composed route measured SLOWER than the XLA dispatch
+                   # at nv=17 — XLA serves 17..28
 
 
 def so_fits(model: RobotModel) -> bool:
@@ -215,8 +238,12 @@ def so_fits(model: RobotModel) -> bool:
     return model.num_vel <= SO_MAX_NV
 
 
-def so_prefer_fused(model: RobotModel) -> bool:
-    """Dispatch gate: fused SO only where it is measured faster than XLA."""
+def so_prefer_fused(model: RobotModel, algo: str = "idsva_so") -> bool:
+    """Dispatch gate: fused SO only where it is measured faster than XLA —
+    per algorithm (idsva_so and fdsva_so have different crossover points;
+    see the threshold notes above)."""
+    if algo == "fdsva_so":
+        return model.num_vel <= FDSVA_FUSED_PREFER_NV
     return model.num_vel <= SO_FUSED_PREFER_NV
 
 
@@ -281,10 +308,12 @@ def fdsva_so_pallas(model: RobotModel, gravity: float,
     function contractions all VMEM-resident). Larger robots (humanoid scale,
     up to SO_MAX_NV) get the composed route: fused IDSVA-SO + fused fd_du
     kernels produce the tensors/Jacobian/Minv, and the n^4 implicit-function
-    contractions run as XLA dot_generals — batched (nv x nv)@(nv x nv^2)
-    matmuls that belong on the MXU, not hand-held in VMEM (the in-kernel
-    form spills ~190 MB of registers at 28 DoF). Same math either way
-    (``_so.fdsva_so_unrolled``; reference ``_fdsva_so.py:52-83``).
+    contractions run on the XLA tier in the UNROLLED lane-major form — the
+    MXU einsum form was measured 13x slower at nv=17 (SO_BENCH_r05: tiny
+    K=nv dot_generals with a trailing 128-lane batch never tile the
+    systolic array; the unrolled form stays fused VPU elementwise). Same
+    math either way (``_so.fdsva_so_unrolled``; reference
+    ``_fdsva_so.py:52-83``).
     """
     _check(model)
     if not so_fits(model):
@@ -311,7 +340,7 @@ def fdsva_so_pallas(model: RobotModel, gravity: float,
     def call(q, qd, u):
         df_du, qdd, Mi = fd_fn(q, qd, u)
         T = so_fn(q, qd, qdd)
-        return _so.fdsva_compose(model, T, df_du, Mi, use_einsum=True)
+        return _so.fdsva_compose(model, T, df_du, Mi, use_einsum=False)
 
     return call
 
@@ -354,7 +383,8 @@ def eepos_pallas(model: RobotModel, targets=None,
     return fuse_batched(fn, [(model.num_pos,)], [(6 * ne,)], consts=consts,
                         dtype=model.Ttree.dtype, block_b=block_b,
                         interpret=interpret,
-                        vmem_limit_bytes=VMEM_LIMIT)
+                        vmem_limit_bytes=VMEM_LIMIT,
+                        batch2d=_batch2d(model))
 
 
 def deepos_pallas(model: RobotModel, targets=None,
@@ -370,7 +400,8 @@ def deepos_pallas(model: RobotModel, targets=None,
     return fuse_batched(fn, [(npos,)], [(6 * ne, npos)], consts=consts,
                         dtype=model.Ttree.dtype, block_b=block_b,
                         interpret=interpret,
-                        vmem_limit_bytes=VMEM_LIMIT)
+                        vmem_limit_bytes=VMEM_LIMIT,
+                        batch2d=_batch2d(model))
 
 
 def d2eepos_pallas(model: RobotModel, targets=None,

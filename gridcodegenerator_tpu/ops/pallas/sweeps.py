@@ -25,6 +25,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -100,16 +101,31 @@ def _st(ref, t, v):
     ref[idx] = v[None]
 
 
+SWEEP_SUB, SWEEP_LANE = 8, 128
+
+
+def _sweep2d_fits(in_shapes, out_shapes) -> bool:
+    """Whether the (8, 128) 2-D batch tile of a sweep kernel fits VMEM:
+    double-buffered streamed blocks at 1024 lanes (the whole per-program
+    horizon block is resident in this design)."""
+    elems = sum(int(np.prod(s)) for s in list(in_shapes) + list(out_shapes))
+    return 4 * 2 * elems * SWEEP_SUB * SWEEP_LANE <= VMEM_LIMIT
+
+
 def _sweep_call(kernel_body, in_shapes: Sequence[Tuple[int, ...]],
                 out_shapes: Sequence[Tuple[int, ...]],
                 consts, dtype, block_b: int, interpret: bool):
     """pallas_call wrapper passing INPUT/OUTPUT REFS (not values) to the
     body so the horizon loop can index time dynamically. ``consts`` are
-    loaded to values. Tiling is along the trailing batch axis only."""
+    loaded to values. Tiling is along the trailing batch axis — flat
+    ``(block_b,)`` blocks, or 2-D ``(8, 128)`` tiles when the batch divides
+    and the working set fits VMEM (full f32 vreg fill; the kernel bodies
+    are batch-rank agnostic)."""
     in_shapes = [tuple(s) for s in in_shapes]
     out_shapes = [tuple(s) for s in out_shapes]
     consts = tuple(consts)
     n_const = len(consts)
+    can2d = _sweep2d_fits(in_shapes, out_shapes)
 
     def specs(shapes):
         out = []
@@ -121,6 +137,19 @@ def _sweep_call(kernel_body, in_shapes: Sequence[Tuple[int, ...]],
 
             out.append(pl.BlockSpec(tuple(shp) + (block_b,), imap,
                                     memory_space=pltpu.VMEM))
+        return out
+
+    def specs2d(shapes):
+        out = []
+        for shp in shapes:
+            nlead = len(shp)
+
+            def imap(i, _nlead=nlead):
+                return (0,) * _nlead + (i, 0)
+
+            out.append(pl.BlockSpec(
+                tuple(shp) + (SWEEP_SUB, SWEEP_LANE), imap,
+                memory_space=pltpu.VMEM))
         return out
 
     const_specs = []
@@ -141,6 +170,26 @@ def _sweep_call(kernel_body, in_shapes: Sequence[Tuple[int, ...]],
 
     def call(*arrays):
         B = arrays[0].shape[-1]
+        if (can2d and not interpret
+                and B % (SWEEP_SUB * SWEEP_LANE) == 0):
+            G = B // SWEEP_LANE
+            r2 = lambda z: z.reshape(z.shape[:-1] + (G, SWEEP_LANE))
+            out = pl.pallas_call(
+                kernel,
+                grid=(G // SWEEP_SUB,),
+                in_specs=const_specs + specs2d(in_shapes),
+                out_specs=tuple(specs2d(out_shapes)),
+                out_shape=tuple(
+                    jax.ShapeDtypeStruct(s + (G, SWEEP_LANE), dtype)
+                    for s in out_shapes),
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=VMEM_LIMIT),
+            )(*consts, *map(r2, arrays))
+            flat = lambda z: z.reshape(z.shape[:-2] + (B,))
+            if len(out_shapes) > 1:
+                return tuple(flat(o) for o in out)
+            return flat(out[0])
         assert B % block_b == 0, (B, block_b)
         out = pl.pallas_call(
             kernel,
@@ -194,7 +243,17 @@ def _make_clamp(u_min, u_max, dtype):
     def clamp(u, cv):
         lo = cv[lo_i] if lo_i is not None else u_min
         hi = cv[hi_i] if hi_i is not None else u_max
-        return jnp.clip(u, lo, hi)
+        if lo_i is None and hi_i is None:      # scalar bounds: direct clip
+            return jnp.clip(u, lo, hi)
+        # array bounds arrive as loaded (n, 1) consts: scalar-index per dof
+        # row (rank-free — a (n, 1) vector cannot broadcast against the 2-D
+        # (n, sub, L) batch tiles, and Mosaic cannot rank-expand it)
+        rows = []
+        for i in range(u.shape[0]):
+            l = lo[i, 0] if lo_i is not None else lo
+            h = hi[i, 0] if hi_i is not None else hi
+            rows.append(jnp.clip(u[i], l, h))
+        return jnp.stack(rows)
 
     return tuple(extra), clamp
 
@@ -434,7 +493,8 @@ def linesearch_rollout_pallas(model: RobotModel, N: int, dt: float,
                               terminal_cost=None):
     """Fused line-search rollout over ALL step sizes with in-kernel widening:
 
-    (x0 (nx,B), Uref (N,n,B), Xref (N,nx,B), k (N,n,B), K (N,n,nx,B))
+    (x0 (nx,B), Uref (N,n,B), Xref (N,nx,B), k (N,n,B), K (N,n,nx,B)
+     [, alpha_rows (na, B)])
       -> (X (N,nx,na*B), U (N,n,na*B))
 
     ``u_t = clamp(Uref_t + alpha_a * k_t + K_t (x_t - Xref_t))``. The grid is
@@ -443,6 +503,12 @@ def linesearch_rollout_pallas(model: RobotModel, N: int, dt: float,
     Xref/K/Uref never materialize in HBM (they cost ~6x the input footprint
     per iteration when widened by XLA ``tile`` ops). Output lane order is
     alpha-major ([a0*B | a1*B | ...]), matching ``ilqr.forward``'s widen().
+
+    ``alphas`` here only fixes the ROW COUNT ``na`` (and provides the
+    default row values); the returned callable optionally takes an
+    ``alpha_rows (na, B)`` array as its sixth argument, giving every
+    problem lane its own step size per row — the two-stage adaptive line
+    search (r5) refines per-lane around the coarse argmin this way.
 
     In-kernel cost: when ``stage_cost(consts, x, u) -> (bb,)`` and
     ``terminal_cost(consts, x) -> (bb,)`` are given (see
@@ -457,8 +523,9 @@ def linesearch_rollout_pallas(model: RobotModel, N: int, dt: float,
     n = model.num_vel
     nx = 2 * n
     na = len(alphas)
-    bconsts, clampf = _make_clamp(u_min, u_max, model.Imat.dtype)
-    alphas_arr = jnp.asarray(alphas, model.Imat.dtype)
+    dtype = model.Imat.dtype
+    bconsts, clampf = _make_clamp(u_min, u_max, dtype)
+    alphas_arr = jnp.asarray(alphas, dtype)
     with_cost = stage_cost is not None
     cost_consts = tuple(cost_consts)
     n_bc = len(bconsts)
@@ -485,59 +552,124 @@ def linesearch_rollout_pallas(model: RobotModel, N: int, dt: float,
         return pl.BlockSpec(tuple(shp) + (block_b,), imap,
                             memory_space=pltpu.VMEM)
 
+    def in_spec2d(shp):
+        nlead = len(shp)
+
+        def imap(a, i, _nlead=nlead):
+            return (0,) * _nlead + (i, 0)
+
+        return pl.BlockSpec(tuple(shp) + (SWEEP_SUB, SWEEP_LANE), imap,
+                            memory_space=pltpu.VMEM)
+
+    def out_spec2d(shp, nbg):
+        nlead = len(shp)
+
+        def imap(a, i, _nlead=nlead, _nbg=nbg):
+            return (0,) * _nlead + (a * _nbg + i, 0)
+
+        return pl.BlockSpec(tuple(shp) + (SWEEP_SUB, SWEEP_LANE), imap,
+                            memory_space=pltpu.VMEM)
+
     const_specs = [pl.BlockSpec(c.shape, (lambda a, i, _nd=c.ndim:
                                           (0,) * _nd),
                                 memory_space=pltpu.VMEM)
                    for c in model_consts]
-    # alphas live in SMEM (scalar memory): rank-1 VMEM blocks must tile to
-    # 128 lanes, and SMEM supports the dynamic per-grid-step scalar read
-    alpha_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # per-(row, lane) step sizes. Flat path: stored (na, 8, B), row
+    # replicated across 8 sublanes so the (1, 8, bb) block satisfies
+    # Mosaic's (8, 128)-divisible tile rule (a (1, bb) block of an (na, B)
+    # array is rejected). 2-D path: stored (na, G, L) with a natural
+    # (1, sub, L) block.
+    alpha_spec = pl.BlockSpec((1, 8, block_b), lambda a, i: (a, 0, i),
+                              memory_space=pltpu.VMEM)
+    alpha_spec2d = pl.BlockSpec((1, SWEEP_SUB, SWEEP_LANE),
+                                lambda a, i: (a, i, 0),
+                                memory_space=pltpu.VMEM)
 
-    def kernel(*refs):
-        cvals = [r[...] for r in refs[:len(model_consts)]]
-        alpha = refs[len(model_consts)][pl.program_id(0)]
-        x0_ref, Uref_ref, Xref_ref, k_ref, K_ref = refs[
-            len(model_consts) + 1:len(model_consts) + 6]
-        out_refs = refs[len(model_consts) + 6:]
-        X_ref, U_ref = out_refs[0], out_refs[1]
-        m = _rebind(model, cvals[:4])
-        bcv = cvals[4:4 + n_bc]
-        ccv = cvals[4 + n_bc:]
+    def make_kernel(mode2d):
+        def kernel(*refs):
+            cvals = [r[...] for r in refs[:len(model_consts)]]
+            aref = refs[len(model_consts)]
+            alpha = aref[0] if mode2d else aref[0, 0]  # (sub,L) / (bb,)
+            x0_ref, Uref_ref, Xref_ref, k_ref, K_ref = refs[
+                len(model_consts) + 1:len(model_consts) + 6]
+            out_refs = refs[len(model_consts) + 6:]
+            X_ref, U_ref = out_refs[0], out_refs[1]
+            m = _rebind(model, cvals[:4])
+            bcv = cvals[4:4 + n_bc]
+            ccv = cvals[4 + n_bc:]
 
-        def step(t, carry):
-            x, acc = carry
-            du = (alpha * _ld(k_ref, t)
-                  + bmv(_ld(K_ref, t), x - _ld(Xref_ref, t)))
-            u = _ld(Uref_ref, t) + du
-            if clampf is not None:
-                u = clampf(u, bcv)
+            def step(t, carry):
+                x, acc = carry
+                du = (alpha * _ld(k_ref, t)
+                      + bmv(_ld(K_ref, t), x - _ld(Xref_ref, t)))
+                u = _ld(Uref_ref, t) + du
+                if clampf is not None:
+                    u = clampf(u, bcv)
+                if with_cost:
+                    acc = acc + stage_cost(ccv, x, u)
+                xn = _euler_step(m, x, u, dt, gravity)
+                _st(X_ref, t, xn)
+                _st(U_ref, t, u)
+                return xn, acc
+
+            x0v = x0_ref[...]
+            acc0 = jnp.zeros_like(x0v[0])
+            xf, acc = jax.lax.fori_loop(0, N, step, (x0v, acc0))
             if with_cost:
-                acc = acc + stage_cost(ccv, x, u)
-            xn = _euler_step(m, x, u, dt, gravity)
-            _st(X_ref, t, xn)
-            _st(U_ref, t, u)
-            return xn, acc
+                acc = acc + terminal_cost(ccv, xf)
+                out_refs[2][...] = acc[None]
+        return kernel
 
-        x0v = x0_ref[...]
-        acc0 = jnp.zeros_like(x0v[0])
-        xf, acc = jax.lax.fori_loop(0, N, step, (x0v, acc0))
-        if with_cost:
-            acc = acc + terminal_cost(ccv, xf)
-            out_refs[2][...] = acc[None]
+    can2d = _sweep2d_fits(in_shapes, out_shapes)
 
-    def call(x0, Uref, Xref, k, K):
+    def call(x0, Uref, Xref, k, K, alpha_rows=None):
         B = x0.shape[-1]
+        if alpha_rows is None:
+            alpha_rows = jnp.broadcast_to(alphas_arr[:, None], (na, B))
+        else:
+            assert alpha_rows.shape == (na, B), (alpha_rows.shape, na, B)
+            alpha_rows = alpha_rows.astype(dtype)
+        use2d = (can2d and not interpret
+                 and B % (SWEEP_SUB * SWEEP_LANE) == 0)
+        shapes = list(out_shapes)
+        if use2d:
+            G = B // SWEEP_LANE
+            nbg = G // SWEEP_SUB
+            r2 = lambda z: z.reshape(z.shape[:-1] + (G, SWEEP_LANE))
+            specs = [out_spec2d(s, nbg) for s in shapes]
+            osh = [jax.ShapeDtypeStruct(s + (na * G, SWEEP_LANE), dtype)
+                   for s in shapes]
+            if with_cost:
+                specs.append(out_spec2d((1,), nbg))
+                osh.append(jax.ShapeDtypeStruct((1, na * G, SWEEP_LANE),
+                                                dtype))
+            out = pl.pallas_call(
+                make_kernel(True),
+                grid=(na, nbg),
+                in_specs=(const_specs + [alpha_spec2d]
+                          + [in_spec2d(s) for s in in_shapes]),
+                out_specs=tuple(specs),
+                out_shape=tuple(osh),
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=VMEM_LIMIT),
+            )(*model_consts, r2(alpha_rows), r2(x0), r2(Uref), r2(Xref),
+              r2(k), r2(K))
+            flat = lambda z: z.reshape(z.shape[:-2] + (na * B,))
+            if with_cost:
+                return flat(out[0]), flat(out[1]), flat(out[2])[0]
+            return flat(out[0]), flat(out[1])
         assert B % block_b == 0, (B, block_b)
         nb = B // block_b
-        shapes = list(out_shapes)
+        alpha_rows = jnp.broadcast_to(alpha_rows[:, None, :], (na, 8, B))
         specs = [out_spec(s, nb) for s in shapes]
-        osh = [jax.ShapeDtypeStruct(s + (na * B,), model.Imat.dtype)
+        osh = [jax.ShapeDtypeStruct(s + (na * B,), dtype)
                for s in shapes]
         if with_cost:
             specs.append(out_spec((1,), nb))
-            osh.append(jax.ShapeDtypeStruct((1, na * B), model.Imat.dtype))
+            osh.append(jax.ShapeDtypeStruct((1, na * B), dtype))
         out = pl.pallas_call(
-            kernel,
+            make_kernel(False),
             grid=(na, nb),
             in_specs=(const_specs + [alpha_spec]
                       + [in_spec(s) for s in in_shapes]),
@@ -546,7 +678,7 @@ def linesearch_rollout_pallas(model: RobotModel, N: int, dt: float,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=VMEM_LIMIT),
-        )(*model_consts, alphas_arr, x0, Uref, Xref, k, K)
+        )(*model_consts, alpha_rows, x0, Uref, Xref, k, K)
         if with_cost:
             return out[0], out[1], out[2][0]
         return out

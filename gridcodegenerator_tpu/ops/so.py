@@ -47,13 +47,15 @@ def _persample(fn):
     return wrapped
 
 
-# XLA-tier route split, measured on chip (SO_BENCH_r04.json): the dense
-# masked-tensor route is ~14% faster than the loop-unrolled form at nv=7
-# and ties at nv=28, with trace/compile cost independent of topology — the
-# analog of the reference's register/shared-vs-global spill threshold
-# (/root/reference/algorithms/_idsva_so.py:1,1003-1005). Below this the
-# unrolled form's smaller intermediates win.
+# XLA-tier route split, re-measured r5 on chip (SO_BENCH_r05.json @B=128):
+# the dense masked-tensor route wins only in a narrow arm-scale window
+# (nv=7: 58.3 vs 64.1 us); above it the loop-unrolled form's smaller
+# intermediates win outright (nv=12: 78 vs 117; nv=17: 183 vs 248; nv=28:
+# 718 vs 727). The window is the analog of the reference's
+# register/shared-vs-global spill threshold
+# (/root/reference/algorithms/_idsva_so.py:1,1003-1005).
 SO_DENSE_MIN_NV = 6
+SO_DENSE_MAX_NV = 8
 
 
 def _check_fixed_base(model):
@@ -86,10 +88,11 @@ def idsva_so(
     * ``"analytical"`` — trace-time loop-unrolled form
       (:func:`idsva_so_analytical`), Mosaic-lowerable; what the fused
       kernels bind.
-    * ``None`` (default) — backend dispatch: dense on TPU at
-      ``nv >= SO_DENSE_MIN_NV``, analytical elsewhere. The explicit values
-      exist so tests can reach both branches regardless of backend (the
-      r4 regression shipped through exactly this untestable backend sniff).
+    * ``None`` (default) — backend dispatch: dense on TPU in the measured
+      ``SO_DENSE_MIN_NV <= nv <= SO_DENSE_MAX_NV`` window, analytical
+      elsewhere. The explicit values exist so tests can reach both branches
+      regardless of backend (the r4 regression shipped through exactly this
+      untestable backend sniff).
 
     The vmap'd-jacfwd route is kept only as the test-suite cross-check
     (:func:`idsva_so_jacfwd`), since it mislowers numerically in f32 on TPU
@@ -99,7 +102,8 @@ def idsva_so(
     realized qdd — pass it (e.g. from ``fd``/``aba``) whenever the tensors
     must be consistent with a trajectory's accelerations."""
     if form is None:
-        form = ("dense" if model.num_vel >= SO_DENSE_MIN_NV
+        form = ("dense"
+                if SO_DENSE_MIN_NV <= model.num_vel <= SO_DENSE_MAX_NV
                 and jax.default_backend() == "tpu" else "analytical")
     if form == "dense":
         return idsva_so_dense(model, q, qd, qdd, GRAVITY)
@@ -435,10 +439,11 @@ def _sva_so_stages(model: RobotModel, q, qd, qdd, GRAVITY):
     _check_fixed_base(model)
     n = model.n
     B = qd.shape[-1]
+    bshape = qd.shape[1:]
     dtype = qd.dtype
     qdd = jnp.zeros_like(qd) if qdd is None else qdd
     Xs = all_xmats(model, q)
-    g = gravity_accel(GRAVITY, B, dtype)
+    g = gravity_accel(GRAVITY, B, dtype, qd.ndim)
 
     par = model.parent
     Sind = model.S_ind
@@ -450,7 +455,7 @@ def _sva_so_stages(model: RobotModel, q, qd, qdd, GRAVITY):
 
     v, a, psid, psidd, Sd = ([None] * n for _ in range(5))
     crm_v = [None] * n
-    zero6 = jnp.zeros((6, B), dtype)
+    zero6 = jnp.zeros((6,) + bshape, dtype)
     for i in range(n):
         p = par[i]
         vp = v[p] if p != -1 else zero6
@@ -470,7 +475,8 @@ def _sva_so_stages(model: RobotModel, q, qd, qdd, GRAVITY):
         Sd[i] = bmv(crm_v[i], S[i])
 
     IC = [bmm(jnp.swapaxes(Xup[i], 0, 1),
-              bmm(model.Imat[i][:, :, None] + 0.0 * Xup[i], Xup[i]))
+              bmm(jnp.reshape(model.Imat[i], (6, 6) + (1,) * len(bshape))
+                  + 0.0 * Xup[i], Xup[i]))
           for i in range(n)]
     BC, f = [None] * n, [None] * n
     for i in range(n):
@@ -534,6 +540,7 @@ def idsva_so_analytical(
 
     n = model.n
     B = qd.shape[-1]
+    bshape = qd.shape[1:]
     dtype = qd.dtype
     st_ = _sva_so_stages(model, q, qd, qdd, GRAVITY)
     S, v, a, psid, psidd, Sd = (st_[k] for k in
@@ -543,8 +550,8 @@ def idsva_so_analytical(
     T1, T2, T3, T4 = st_["T1"], st_["T2"], st_["T3"], st_["T4"]
     crm_S, crm_psid, crfSIC = st_["crm_S"], st_["crm_psid"], st_["crfSIC"]
 
-    # trace-time output dicts of (B,) lanes
-    zero = jnp.zeros((B,), dtype)
+    # trace-time output dicts of (B,)-lane (or 2-D-tile) scalars
+    zero = jnp.zeros(bshape, dtype)
     dq2 = {}
     dqd2 = {}
     dvdq = {}

@@ -174,11 +174,17 @@ def XTMX(X, M):
 
 
 def Mv(M, v):
-    """M @ v where M is an unbatched (6,6) constant (inertia) and v (6,B)."""
-    out = M[:, 0][:, None] * v[0]
-    for j in range(1, 6):
-        out = out + M[:, j][:, None] * v[j]
-    return out
+    """M @ v where M is an unbatched (6,6) constant (inertia) and v (6,B...)
+    with any trailing batch shape. Scalar-indexed: M[i,j] extracts are
+    rank-free (Mosaic cannot rank-expand a loaded 2-D constant into the
+    2-D batch tiles; scalar splats broadcast at any rank)."""
+    rows = []
+    for i in range(6):
+        acc = M[i, 0] * v[0]
+        for j in range(1, 6):
+            acc = acc + M[i, j] * v[j]
+        rows.append(acc)
+    return jnp.stack(rows)
 
 
 def Xcols(X, D):
@@ -198,11 +204,15 @@ def XTcols(X, D):
 
 
 def Mcols(M, D):
-    """Constant (6,6) matrix times every column of (6,C,B)."""
-    out = M[:, 0][:, None, None] * D[0][None]
-    for j in range(1, 6):
-        out = out + M[:, j][:, None, None] * D[j][None]
-    return out
+    """Constant (6,6) matrix times every column of (6,C,B...).
+    Scalar-indexed for rank-freedom (see :func:`Mv`)."""
+    rows = []
+    for i in range(6):
+        acc = M[i, 0] * D[0]
+        for j in range(1, 6):
+            acc = acc + M[i, j] * D[j]
+        rows.append(acc)
+    return jnp.stack(rows)
 
 
 def bmm(A, B):
@@ -224,8 +234,8 @@ def bmv(A, x):
 
 
 def outer6(a, b):
-    """a b^T with trailing batch: (6,B),(6,B)->(6,6,B)."""
-    return a[:, None, :] * b[None, :, :]
+    """a b^T with trailing batch: (6,B...),(6,B...)->(6,6,B...)."""
+    return a[:, None] * b[None]
 
 
 def dot6(a, b):

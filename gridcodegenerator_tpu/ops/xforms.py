@@ -21,17 +21,28 @@ from ..models.model import RobotModel
 
 
 def _mm3_const(E, M):
-    """(3, 3, B) x (3, m) constant -> (3, m, B), unrolled over the 3-wide
-    contraction. Never an einsum: on TPU a dot_general defaults to bf16 MXU
-    precision, which would inject ~1e-3 relative error into every X(q) and
-    poison the whole dynamics suite; unrolled elementwise ops stay exact f32
-    on the VPU (and lower through Mosaic inside the fused kernels)."""
-    # explicit lax slices: slice+newaxis mixed indexing rewrites to a
-    # gather, which Mosaic rejects inside the fused kernels
-    Mb = lax.expand_dims(M, (2,))                       # (3, m, 1)
-    terms = [lax.slice_in_dim(E, k, k + 1, axis=1)
-             * lax.slice_in_dim(Mb, k, k + 1, axis=0) for k in range(3)]
-    return terms[0] + terms[1] + terms[2]
+    """(3, 3, B...) x (3, m) constant -> (3, m, B...), unrolled over the
+    3-wide contraction (B... is any trailing batch shape — one axis on the
+    XLA tier, (sub, lane) inside the 2-D-tiled fused kernels). Never an
+    einsum: on TPU a dot_general defaults to bf16 MXU precision, which
+    would inject ~1e-3 relative error into every X(q) and poison the whole
+    dynamics suite; unrolled elementwise ops stay exact f32 on the VPU
+    (and lower through Mosaic inside the fused kernels)."""
+    # scalar-indexed: M[k, j] extracts are rank-free (Mosaic cannot
+    # rank-expand a loaded 2-D constant into 2-D batch tiles; a scalar
+    # splat broadcasts at any rank), and static E[i, k] row indexing is
+    # slice-equivalent — no gathers either way
+    m = M.shape[1]
+    rows = []
+    for i in range(3):
+        cols = []
+        for j in range(m):
+            acc = E[i, 0] * M[0, j]
+            acc = acc + E[i, 1] * M[1, j]
+            acc = acc + E[i, 2] * M[2, j]
+            cols.append(acc)
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
 
 
 def _mm3_batched(E, sk):
@@ -73,11 +84,12 @@ def joint_xmat(model: RobotModel, i: int, qi) -> jnp.ndarray:
             2: [[z, -qi, z], [qi, z, z], [z, z, z]],
         }[k]
         sk = jnp.stack([jnp.stack(r) for r in sk_rows])  # (3,3,B)
-        # lax slice + expand_dims, NOT `XT[:3, :, None]`: mixed slice/newaxis
-        # indexing rewrites to a gather, which Mosaic rejects in fused kernels
-        XT_top = lax.expand_dims(lax.slice_in_dim(XT, 0, 3, axis=0), (2,))
-        XT_bot = lax.expand_dims(lax.slice_in_dim(XT, 3, 6, axis=0), (2,))
-        top = jnp.broadcast_to(XT_top, (3, 6, qi.shape[0]))
+        # scalar-indexed constant rows (rank-free; see _mm3_const)
+        zb = jnp.zeros_like(qi)
+        top = jnp.stack([jnp.stack([XT[r, c] + zb for c in range(6)])
+                         for r in range(3)])
+        XT_bot = jnp.stack([jnp.stack([XT[r, c] + zb for c in range(6)])
+                            for r in range(3, 6)])
         bot = XT_bot - _mm3_const(sk, XT[:3, :])
         return jnp.concatenate([top, bot], axis=0)
     raise NotImplementedError(model.jtype[i])

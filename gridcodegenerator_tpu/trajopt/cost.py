@@ -126,23 +126,26 @@ class QuadCost(CostModel):
         nx = int(np.shape(self.Q)[0])
         nu = int(np.shape(self.R)[0])
 
+        # [i, 0] scalar extracts (not [i] -> (1,)-shaped rows): a scalar
+        # splat broadcasts into any batch-tile rank inside Mosaic; a (1,)
+        # vector cannot reach the 2-D (8, 128) tiles
         def stage(cv, x, u):
             Q, R, _, xg_ = cv
             acc = None
             for i in range(nx):
-                d = x[i] - xg_[i]
-                t = Q[i] * d * d
+                d = x[i] - xg_[i, 0]
+                t = Q[i, 0] * d * d
                 acc = t if acc is None else acc + t
             for i in range(nu):
-                acc = acc + R[i] * u[i] * u[i]
+                acc = acc + R[i, 0] * u[i] * u[i]
             return 0.5 * acc
 
         def term(cv, x):
             _, _, Qf, xg_ = cv
             acc = None
             for i in range(nx):
-                d = x[i] - xg_[i]
-                t = Qf[i] * d * d
+                d = x[i] - xg_[i, 0]
+                t = Qf[i, 0] * d * d
                 acc = t if acc is None else acc + t
             return 0.5 * acc
 
@@ -262,7 +265,7 @@ class EEReachCost(CostModel):
             xyz = _eepose.eexyz(mm, x[:n])  # position-only FK: no atan2
             e2 = None
             for i in range(3):
-                d = xyz[kx + i] - cv[2][i]
+                d = xyz[kx + i] - cv[2][i, 0]   # scalar extract (2-D tiles)
                 t = d * d
                 e2 = t if e2 is None else e2 + t
             v2 = None
