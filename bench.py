@@ -205,11 +205,12 @@ def config4(jnp, jax):
     from gridcodegenerator_tpu.utils.timing import time_kernel
 
     out = {"config": 4, "metric": "sqp_exact_hessian_solves_per_s",
-           "note": ("gym_ant carries published MuJoCo-project parameters "
-                    "(models/vendor, converted + crosschecked); hyq is the "
-                    "class-accurate quadruped")}
+           "note": ("gym_ant and dm_quadruped carry published "
+                    "MuJoCo-project parameters (models/vendor, converted + "
+                    "crosschecked); hyq is the class-accurate quadruped")}
     rng = np.random.default_rng(0)
-    for name, B in (("iiwa", 1024), ("hyq", 512), ("gym_ant", 512)):
+    for name, B in (("iiwa", 1024), ("hyq", 512), ("gym_ant", 512),
+                    ("dm_quadruped", 512)):
         model = build_model(load_robot(name), dtype=jnp.float32)
         n = model.n
         N, ITERS = 32, 4

@@ -476,14 +476,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", type=int, default=16)
     ap.add_argument("--out", type=str,
-                    default=os.path.join(REPO, "CROSSCHECK_r04.json"))
+                    default=os.path.join(REPO, "CROSSCHECK_r05.json"))
     args = ap.parse_args()
 
     results = {"samples": args.samples, "robots": {}}
     ok = True
 
     fixed_robots = ["iiwa", "iiwa14", "hyq", "atlas", "gym_ant",
-                    "gym_humanoid", "pendulum4", "mixed5"]
+                    "gym_humanoid", "dm_quadruped", "pendulum4", "mixed5"]
     try:
         import mujoco
         results["mujoco_version"] = mujoco.__version__

@@ -22,7 +22,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-FIXED = ("iiwa14", "hyq", "atlas", "gym_humanoid")
+FIXED = ("iiwa14", "hyq", "dm_quadruped", "atlas", "gym_humanoid")
 FLOATING = ("iiwa_floating", "hyq_floating")
 
 

@@ -114,11 +114,12 @@ def render(rnd: int) -> str:
                     f"rollout {ph['forward_linesearch']:.0%} "
                     "(measured, `bench.py` config 3 `phases`).")
         if c4:
-            lines.append(
-                f"- exact-Hessian SQP: "
-                f"{c4.get('iiwa_solves_per_s', 0)/1000:.1f}k solves/s "
-                f"(iiwa), {c4.get('hyq_solves_per_s', 0)/1000:.1f}k (HyQ), "
-                "N=32.")
+            frag = ", ".join(
+                f"{c4[k]/1000:.1f}k ({k[:-len('_solves_per_s')]})"
+                for k in ("iiwa_solves_per_s", "hyq_solves_per_s",
+                          "dm_quadruped_solves_per_s", "gym_ant_solves_per_s")
+                if k in c4)
+            lines.append(f"- exact-Hessian SQP solves/s: {frag}; N=32.")
         if c2:
             lines.append(
                 f"- batched dynamics: ABA "
