@@ -13,8 +13,11 @@ _inverse_dynamics.py:1-3`` computes ``6*n`` temp words per knot the same
 way). Counting convention:
 
 * one scalar multiply, add, divide, or transcendental = 1 FLOP (matching
-  the VPU "ALU op" peak the suite uses: 940 MHz x 8x128 lanes x 4 ops
-  ~ 3.9 T ops/s on v5e, NOT an FMA-doubled peak);
+  the VPU FMA peak the suite uses: 940 MHz x 8x128 lanes x 4 ALUs x
+  2 ops/FMA ~ 7.9 T ops/s on v5e. r4 used the non-FMA 3.9 T figure; the
+  r5 2-D-tiled gradient kernels measured 4.6 T ops/s sustained, proving
+  the VPU fuses mul+add — the conservative constant was falsified by
+  measurement and corrected (BENCH_kernels_r05.json note);
 * counts are the ESSENTIAL work of the wave algorithm (sparse
   ancestor/subtree structure) — a dense-masked implementation does more,
   which correctly shows up as lower roofline efficiency, never >100%;

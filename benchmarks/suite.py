@@ -35,8 +35,8 @@ def main():
     ap.add_argument("--hbm-gbps", type=float, default=819.0,
                     help="peak HBM bandwidth for the roofline (819 GB/s = "
                          "TPU v5e)")
-    ap.add_argument("--peak-vpu-tflops", type=float, default=3.9,
-                    help="peak f32 vector-unit TFLOP/s for the compute "
+    ap.add_argument("--peak-vpu-tflops", type=float, default=7.9,
+                    help="peak f32 vector-unit FMA TFLOP/s for the compute "
                          "roofline leg (v5e estimate: 940 MHz x 8x128 lanes "
                          "x 4 ALU ops; the lane-major dynamics kernels are "
                          "VPU+HBM bound — the MXU peak is not the relevant "

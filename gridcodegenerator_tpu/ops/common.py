@@ -97,6 +97,8 @@ def const_mat_b(M, tz) -> jnp.ndarray:
     scalar extract broadcasts at any rank (and XLA folds this identically
     to the reshape form on the flat tiers)."""
     r, c = M.shape
+    if tz.ndim == 1:                       # flat batch: one rank-3 broadcast
+        return M[:, :, None] + tz
     return jnp.stack([jnp.stack([M[i, j] + tz for j in range(c)])
                       for i in range(r)])
 

@@ -92,8 +92,11 @@ def id_grad_inner(
             MxXa.append(jnp.stack([mxS(j, Xa_p) for j in range(6)], axis=1))
             Mxv.append(None)
         # crf(v) @ I as a (6,6,B) operator: columns are cross_fv(v, I[:,k])
-        Icols = [jnp.stack([model.Imat[i][r, k] + tz for r in range(6)])
-                 for k in range(6)]
+        if nb == 1:   # flat batch: vectorized column broadcast
+            Icols = [model.Imat[i][:, k][:, None] + tz for k in range(6)]
+        else:         # 2-D tiles: scalar extracts (rank-free)
+            Icols = [jnp.stack([model.Imat[i][r, k] + tz
+                                for r in range(6)]) for k in range(6)]
         FxvI.append(jnp.stack([cross_fv(v[i], col) for col in Icols], axis=1))
 
     # column-add helpers: X + e_col ⊗ val (scatter-free; Mosaic-safe)

@@ -175,9 +175,15 @@ def XTMX(X, M):
 
 def Mv(M, v):
     """M @ v where M is an unbatched (6,6) constant (inertia) and v (6,B...)
-    with any trailing batch shape. Scalar-indexed: M[i,j] extracts are
-    rank-free (Mosaic cannot rank-expand a loaded 2-D constant into the
-    2-D batch tiles; scalar splats broadcast at any rank)."""
+    with any trailing batch shape. Flat batch keeps the vectorized (6,1)
+    column form (fewer, wider Mosaic ops — the scalar form measured ~1.6x
+    slower on the flat-tier humanoids, r5); 2-D batch tiles use scalar
+    extracts, the only rank-free constant access Mosaic lowers."""
+    if v.ndim == 2:
+        out = M[:, 0][:, None] * v[0]
+        for j in range(1, 6):
+            out = out + M[:, j][:, None] * v[j]
+        return out
     rows = []
     for i in range(6):
         acc = M[i, 0] * v[0]
@@ -205,7 +211,12 @@ def XTcols(X, D):
 
 def Mcols(M, D):
     """Constant (6,6) matrix times every column of (6,C,B...).
-    Scalar-indexed for rank-freedom (see :func:`Mv`)."""
+    Vectorized for flat batch, scalar-indexed for 2-D tiles (see Mv)."""
+    if D.ndim == 3:
+        out = M[:, 0][:, None, None] * D[0][None]
+        for j in range(1, 6):
+            out = out + M[:, j][:, None, None] * D[j][None]
+        return out
     rows = []
     for i in range(6):
         acc = M[i, 0] * D[0]

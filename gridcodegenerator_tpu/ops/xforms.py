@@ -28,10 +28,17 @@ def _mm3_const(E, M):
     would inject ~1e-3 relative error into every X(q) and poison the whole
     dynamics suite; unrolled elementwise ops stay exact f32 on the VPU
     (and lower through Mosaic inside the fused kernels)."""
-    # scalar-indexed: M[k, j] extracts are rank-free (Mosaic cannot
-    # rank-expand a loaded 2-D constant into 2-D batch tiles; a scalar
-    # splat broadcasts at any rank), and static E[i, k] row indexing is
-    # slice-equivalent — no gathers either way
+    # Flat batch: vectorized slice form (explicit lax slices, NOT mixed
+    # slice/newaxis indexing — that rewrites to a gather Mosaic rejects).
+    # 2-D batch tiles: scalar M[k, j] extracts, the only rank-free constant
+    # access Mosaic lowers (rank-expanding a loaded 2-D constant is an
+    # unsupported relayout; the scalar form on FLAT tiles measured ~1.6x
+    # slower on the humanoids, so both forms stay).
+    if E.ndim == 3:
+        Mb = lax.expand_dims(M, (2,))                   # (3, m, 1)
+        terms = [lax.slice_in_dim(E, k, k + 1, axis=1)
+                 * lax.slice_in_dim(Mb, k, k + 1, axis=0) for k in range(3)]
+        return terms[0] + terms[1] + terms[2]
     m = M.shape[1]
     rows = []
     for i in range(3):

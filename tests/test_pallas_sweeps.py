@@ -128,6 +128,34 @@ def test_linesearch_rollout_matches_widened_scan(setup):
     np.testing.assert_allclose(np.asarray(U_f), np.asarray(U_s), atol=1e-12)
 
 
+def test_linesearch_rollout_per_lane_alpha_rows(setup):
+    """The optional ``alpha_rows (na, B)`` input gives every problem lane
+    its own step size per row (the r5 two-stage refined stage): a run with
+    heterogeneous per-lane rows must equal per-lane scalar-alpha runs."""
+    model, rng = setup
+    n, N, B = model.num_vel, 4, 4
+    nx = 2 * n
+    x0 = jnp.asarray(rng.uniform(-0.5, 0.5, (nx, B)))
+    Uref = jnp.asarray(rng.uniform(-1, 1, (N, n, B)))
+    Xref = jnp.asarray(rng.uniform(-0.5, 0.5, (N, nx, B)))
+    ks = jnp.asarray(0.1 * rng.uniform(-1, 1, (N, n, B)))
+    K = jnp.asarray(0.1 * rng.uniform(-1, 1, (N, n, nx, B)))
+    rows = jnp.asarray(rng.uniform(0.05, 1.0, (1, B)))
+
+    fused = _ps.linesearch_rollout_pallas(model, N, DT, GRAV, (1.0,),
+                                          block_b=B, interpret=True)
+    X_r, U_r = fused(x0, Uref, Xref, ks, K, rows)
+    for b in range(B):  # each lane vs a uniform-alpha run at its own value
+        uni = _ps.linesearch_rollout_pallas(
+            model, N, DT, GRAV, (float(rows[0, b]),), block_b=B,
+            interpret=True)
+        X_u, U_u = uni(x0, Uref, Xref, ks, K)
+        np.testing.assert_allclose(np.asarray(X_r[..., b]),
+                                   np.asarray(X_u[..., b]), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(U_r[..., b]),
+                                   np.asarray(U_u[..., b]), atol=1e-12)
+
+
 def _scan_riccati(n, N, reg, Amat, Bmat, lx, lu, lxx, luu, lux, Vx0, Vxx0):
     """Mirror of trajopt/ilqr.backward's first-order scan body."""
 
