@@ -58,8 +58,12 @@ def main():
     rng = np.random.default_rng(0)
 
     def bench(tier, use_pallas):
+        # block_b=None: the model-aware default (kernels.default_block_b
+        # halves the tile above 12 DoF for VMEM) — forcing 256 here made
+        # the humanoid flat-tier rows ~1.7x slower than the same kernels
+        # at their default tile (measured r5: atlas id_du 341 vs 198 us)
         g = GRiD(args.robot, dtype=jnp.float32, use_pallas=use_pallas,
-                 block_b=min(256, B))
+                 block_b=None if B >= 256 else B)
         n, npos = g.num_vel, g.num_pos
         q = jnp.asarray(rng.uniform(-1, 1, (B, npos)), jnp.float32)
         qd, u = (jnp.asarray(rng.uniform(-1, 1, (B, n)), jnp.float32)
