@@ -41,18 +41,14 @@ def _latest_round(prefix: str, want: int):
 
 
 def _kernel_rows(path):
-    rows = []
     if not os.path.exists(path):
-        return rows
+        return []
     with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if line.startswith("{"):
-                try:
-                    rows.append(json.loads(line))
-                except json.JSONDecodeError:
-                    pass
-    return rows
+        try:
+            doc = json.load(f)
+        except json.JSONDecodeError:
+            return []
+    return doc.get("rows", [])
 
 
 def _bench_data(want: int):
@@ -139,8 +135,8 @@ def render(rnd: int) -> str:
     if kr:
         best = {}
         for r in kr:
-            if r.get("robot") == "iiwa" and r.get("tier") == "pallas" \
-                    and "sol_pct" in r:
+            if r.get("robot") in ("iiwa", "iiwa14") \
+                    and r.get("tier") == "pallas" and "sol_pct" in r:
                 best[r["algo"]] = r
         if best:
             tops = sorted(best.values(), key=lambda r: -r["sol_pct"])[:3]
